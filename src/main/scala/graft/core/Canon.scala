@@ -1,0 +1,221 @@
+package graft.core
+
+/** URL parsing / canonicalization mirroring the semantics the reference
+  * gets from the `url` crate v2.3.1 (WHATWG URL), scoped to the URL
+  * shapes the synthetic web emits and property-tested in CanonSpec.
+  *
+  * Reference behaviors reproduced (cites into /root/reference):
+  *  - lowercase scheme + host, default port dropped (url 2.3.1 norm)
+  *  - fragments KEPT — `#x` distinguishes URLs in equality/Hash
+  *    (src/main.rs:58-62 hashes the whole Url)
+  *  - relative links resolve against the ORIGIN (page URL with
+  *    `set_path("")`, `set_query(None)`) — src/main.rs:161-164
+  *  - scheme predicate is substring `contains("http")`, host must be
+  *    present — src/main.rs:218-219
+  *  - dot-segment resolution, excess `..` clamped at root (WHATWG)
+  */
+object Canon {
+
+  /** Parsed canonical URL. `port == -1` means no explicit port. */
+  final case class Uri(
+      scheme: String,
+      host: String,
+      port: Int,
+      path: String,
+      query: Option[String],
+      fragment: Option[String]
+  ) {
+    def render: String = {
+      val sb = new StringBuilder(scheme).append("://").append(host)
+      if (port >= 0) sb.append(':').append(port)
+      sb.append(path)
+      query.foreach(q => sb.append('?').append(q))
+      fragment.foreach(f => sb.append('#').append(f))
+      sb.toString
+    }
+
+    /** The reference's base rewrite: set_path("") + set_query(None);
+      * special-scheme path is never empty so it becomes "/". The
+      * fragment survives set_path/set_query but never flows into join
+      * results (RFC 3986 §5.3), so we drop it here. src/main.rs:161-164 */
+    def origin: Uri = copy(path = "/", query = None, fragment = None)
+  }
+
+  sealed trait ParseResult
+  final case class Absolute(uri: Uri) extends ParseResult
+  case object RelativeWithoutBase extends ParseResult
+  case object Malformed extends ParseResult
+
+  private val defaultPorts = Map("http" -> 80, "https" -> 443, "ws" -> 80, "wss" -> 443, "ftp" -> 21)
+
+  private def isSchemeStart(c: Char) = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+  private def isSchemeChar(c: Char) =
+    isSchemeStart(c) || (c >= '0' && c <= '9') || c == '+' || c == '-' || c == '.'
+
+  /** Chars we accept in a registered-name host (ASCII domains + IPv4). */
+  private def isHostChar(c: Char) =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') ||
+      c == '-' || c == '.' || c == '_'
+
+  /** Minimal percent-encode of chars that WHATWG encodes in paths and that
+    * our synthetic space can emit (space + control + a few specials). */
+  private def encodePathChar(c: Char, sb: StringBuilder): Unit = c match {
+    case ' '            => sb.append("%20")
+    case '"'            => sb.append("%22")
+    case '<'            => sb.append("%3C")
+    case '>'            => sb.append("%3E")
+    case '`'            => sb.append("%60")
+    case c if c < 0x20  => sb.append(f"%%${c.toInt}%02X")
+    case c              => sb.append(c)
+  }
+
+  private def encodePath(p: String): String = {
+    val sb = new StringBuilder(p.length)
+    p.foreach(encodePathChar(_, sb))
+    sb.toString
+  }
+
+  /** WHATWG dot-segment resolution; excess ".." at root is discarded. */
+  def normalizePath(path: String): String = {
+    if (path.isEmpty) return "/"
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val segs = path.split("/", -1)
+    // segs(0) is "" for absolute paths
+    var i = 1
+    val trailingSlash =
+      segs.last.isEmpty || segs.last == "." || segs.last == ".."
+    while (i < segs.length) {
+      segs(i) match {
+        case "." | ""        => () // collapse; trailing handled below
+        case ".."            => if (out.nonEmpty) out.remove(out.length - 1)
+        case s               => out += s
+      }
+      i += 1
+    }
+    val base = "/" + out.mkString("/")
+    if (trailingSlash && !base.endsWith("/")) base + "/" else base
+  }
+
+  /** Parse an absolute URL string. Scheme must be present, else
+    * RelativeWithoutBase. Invalid host chars => Malformed (mirrors url
+    * crate InvalidDomainCharacter / EmptyHost errors, src/main.rs:212-214). */
+  def parseAbsolute(raw: String): ParseResult = {
+    val s = raw.trim
+    if (s.isEmpty) return RelativeWithoutBase
+    // find scheme
+    if (!isSchemeStart(s.charAt(0))) return RelativeWithoutBase
+    var i = 1
+    while (i < s.length && isSchemeChar(s.charAt(i))) i += 1
+    if (i >= s.length || s.charAt(i) != ':') return RelativeWithoutBase
+    val scheme = s.substring(0, i).toLowerCase
+    var rest = s.substring(i + 1)
+    // we only model hierarchical (special-ish) URLs: need //authority
+    if (!rest.startsWith("//")) {
+      // opaque non-special URL like mailto:foo — parses OK in the url
+      // crate with no host; the reference drops it at host().is_some()
+      // (src/main.rs:219). Model as Absolute with empty host.
+      return Absolute(Uri(scheme, "", -1, rest, None, None))
+    }
+    rest = rest.substring(2)
+    // split off fragment, then query, then path
+    var fragment: Option[String] = None
+    val hashIdx = rest.indexOf('#')
+    if (hashIdx >= 0) { fragment = Some(rest.substring(hashIdx + 1)); rest = rest.substring(0, hashIdx) }
+    var query: Option[String] = None
+    val qIdx = rest.indexOf('?')
+    if (qIdx >= 0) { query = Some(rest.substring(qIdx + 1)); rest = rest.substring(0, qIdx) }
+    val slashIdx = rest.indexOf('/')
+    val (authority, path0) =
+      if (slashIdx >= 0) (rest.substring(0, slashIdx), rest.substring(slashIdx)) else (rest, "")
+    // userinfo (synthetic space never emits it, but strip defensively)
+    val auth = authority.substring(authority.indexOf('@') + 1)
+    if (auth.isEmpty) return Malformed // EmptyHost
+    val colonIdx = auth.lastIndexOf(':')
+    val (hostRaw, portRaw) =
+      if (colonIdx >= 0 && auth.drop(colonIdx + 1).forall(_.isDigit) && colonIdx != auth.length - 1)
+        (auth.substring(0, colonIdx), auth.substring(colonIdx + 1))
+      else if (colonIdx >= 0 && colonIdx == auth.length - 1) (auth.substring(0, colonIdx), "")
+      else if (colonIdx >= 0) return Malformed // non-numeric port
+      else (auth, "")
+    if (hostRaw.isEmpty) return Malformed
+    if (!hostRaw.forall(isHostChar)) return Malformed // InvalidDomainCharacter
+    val host = hostRaw.toLowerCase
+    val port =
+      if (portRaw.isEmpty) -1
+      else {
+        val p = try portRaw.toInt catch { case _: NumberFormatException => return Malformed }
+        if (p > 65535) return Malformed
+        if (defaultPorts.get(scheme).contains(p)) -1 else p
+      }
+    val path = encodePath(normalizePath(path0))
+    Absolute(Uri(scheme, host, port, path, query, fragment))
+  }
+
+  /** RFC 3986 §5.2 resolution of `link` against `base` (the reference
+    * always joins against the page ORIGIN — src/main.rs:163-164,211).
+    * Returns None when the join itself fails; the reference `.unwrap()`s
+    * that case (panic), which our synthetic space never triggers. */
+  def join(base: Uri, link: String): Option[Uri] = {
+    val l = link.trim
+    if (l.isEmpty) return Some(base.copy(fragment = None))
+    if (l.startsWith("//")) {
+      // protocol-relative: re-parse with base scheme
+      parseAbsolute(base.scheme + ":" + l) match {
+        case Absolute(u) => Some(u)
+        case _           => None
+      }
+    } else if (l.startsWith("#")) {
+      Some(base.copy(fragment = Some(l.substring(1))))
+    } else if (l.startsWith("?")) {
+      val hashIdx = l.indexOf('#')
+      if (hashIdx >= 0)
+        Some(base.copy(query = Some(l.substring(1, hashIdx)), fragment = Some(l.substring(hashIdx + 1))))
+      else Some(base.copy(query = Some(l.substring(1)), fragment = None))
+    } else {
+      // path (absolute or relative) [+ query][+ fragment]
+      var rest = l
+      var fragment: Option[String] = None
+      val hashIdx = rest.indexOf('#')
+      if (hashIdx >= 0) { fragment = Some(rest.substring(hashIdx + 1)); rest = rest.substring(0, hashIdx) }
+      var query: Option[String] = None
+      val qIdx = rest.indexOf('?')
+      if (qIdx >= 0) { query = Some(rest.substring(qIdx + 1)); rest = rest.substring(0, qIdx) }
+      val merged =
+        if (rest.startsWith("/")) rest
+        else {
+          // merge with base path's directory (base path here is "/" from
+          // origin rewrite, so this is "/"+rest; keep general anyway)
+          val bp = base.path
+          bp.substring(0, bp.lastIndexOf('/') + 1) + rest
+        }
+      Some(base.copy(path = encodePath(normalizePath(merged)), query = query, fragment = fragment))
+    }
+  }
+
+  /** Full link pipeline of parse_links (src/main.rs:207-221): parse;
+    * relative => join with origin base; malformed => None (warn+drop);
+    * then scheme-substring + host-present predicates. */
+  def resolveLink(link: String, originBase: Uri): Option[Uri] = {
+    val parsed = parseAbsolute(link) match {
+      case Absolute(u)          => Some(u)
+      case RelativeWithoutBase  => join(originBase, link)
+      case Malformed            => None
+    }
+    parsed
+      .filter(_.scheme.contains("http")) // substring, NOT equality (src/main.rs:218)
+      .filter(_.host.nonEmpty)           // host().is_some() (src/main.rs:219)
+  }
+
+  /** Canonical string for a raw absolute URL (e.g. seeds). None if it
+    * fails to parse — the reference PANICS on malformed seeds
+    * (src/main.rs:301-307), so callers fail the job on None. */
+  def canonicalize(raw: String): Option[Uri] = parseAbsolute(raw) match {
+    case Absolute(u) => Some(u)
+    case _           => None
+  }
+
+  def hostOf(canonicalUrl: String): String = parseAbsolute(canonicalUrl) match {
+    case Absolute(u) => u.host
+    case _           => ""
+  }
+}

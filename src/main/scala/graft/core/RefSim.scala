@@ -1,0 +1,137 @@
+package graft.core
+
+import scala.collection.mutable
+
+/** A Finding mirrors the reference's one record type
+  * (`enum Finding { Page(Url, u8), Image(Url) }`,
+  * /root/reference/src/main.rs:58-62). `depth` is 0 for images — the
+  * Image variant carries no depth, so equality on (kind, url, 0) matches
+  * the enum's derived Eq/Hash.
+  */
+final case class Finding(kind: String, url: String, depth: Int) {
+  def host: String = Canon.hostOf(url)
+}
+
+object Finding {
+  val Page = "page"
+  val Image = "image"
+}
+
+/** Single-threaded conformance oracle: a literal simulation of
+  * main.rs's wave loop (src/main.rs:86-147) over the synthetic web,
+  * with ONE fixed linearization — per wave, the queue is processed in
+  * canonical (host, kind, url, depth) order (SURVEY.md §3.4). The
+  * reference's own within-wave order is nondeterministic (HashSet
+  * iteration + FuturesUnordered completion), so any linearization is a
+  * valid execution; engine and oracle share this one, making ordering
+  * AND URL-seen set comparable bit-for-bit.
+  *
+  * Reproduced literally:
+  *  - 257 admissions/host: skip iff visits > 256, increment after
+  *    (src/main.rs:103-107)
+  *  - budget shared by pages and images, cumulative across waves
+  *  - children inherit the PARENT's depth, never incremented
+  *    (src/main.rs:166,198-201); gate `depth < limit` (src/main.rs:132)
+  *  - seeds are NEVER pre-archived — a crawled page linking back to a
+  *    seed re-enqueues it once (src/main.rs:87-92,129-130)
+  *  - fetch errors warn-and-drop, never fail the wave (src/main.rs:136,143)
+  */
+object RefSim {
+
+  final case class SimResult(
+      frontiers: Vector[Vector[Finding]], // queue at the top of each wave, canonical order
+      seen: Set[Finding],                 // final archive
+      hostVisits: Map[String, Long],
+      admissions: Vector[(Int, Finding)], // (wave, finding) in admission order
+      imageIds: Vector[String]            // successfully fetched image urls, admission order
+  )
+
+  private val canonicalOrd: Ordering[Finding] =
+    Ordering.by(f => (f.host, f.kind, f.url, f.depth))
+
+  def run(
+      seedUrls: Seq[String],
+      cfg: SynthWeb.WebConfig,
+      depthLimit: Int = 4,
+      hostVisitLimit: Int = 256,
+      maxWaves: Int = 1000
+  ): SimResult = {
+    // parse_cli_args: Url::parse().unwrap() — panic on malformed seed
+    val seeds: Seq[Canon.Uri] = seedUrls.map { s =>
+      Canon.canonicalize(s).getOrElse(throw new IllegalArgumentException(s"malformed seed: $s"))
+    }
+    // HashSet<Url> dedup by parsed equality
+    var queue: Vector[Finding] =
+      seeds.map(u => Finding(Finding.Page, u.render, 0)).distinct.toVector.sorted(canonicalOrd)
+
+    val archive = mutable.HashSet.empty[Finding]
+    val hostVisits = mutable.HashMap.empty[String, Int]
+    val frontiers = Vector.newBuilder[Vector[Finding]]
+    val admissions = Vector.newBuilder[(Int, Finding)]
+    val imageIds = Vector.newBuilder[String]
+
+    var wave = 0
+    while (queue.nonEmpty && wave < maxWaves) {
+      frontiers += queue
+
+      // --- dispatch loop: budget admission in canonical order ---
+      val admitted = Vector.newBuilder[Finding]
+      queue.foreach { f =>
+        val host = f.host
+        if (host.nonEmpty) { // `else continue` on missing host (src/main.rs:100-102)
+          val v = hostVisits.getOrElse(host, 0)
+          if (v <= hostVisitLimit) { // skip iff v > 256
+            hostVisits(host) = v + 1
+            admitted += f
+            admissions += ((wave, f))
+          }
+        }
+      }
+      val adm = admitted.result()
+
+      // --- spiders: pages, responses processed in canonical order ---
+      val next = Vector.newBuilder[Finding]
+      adm.iterator.filter(_.kind == Finding.Page).foreach { f =>
+        SynthWeb.fetch(f.url, cfg) match {
+          case SynthWeb.PageBody(html) =>
+            val findings = processPage(f.url, html, f.depth)
+            val novel = findings.filterNot(archive.contains)
+            archive ++= novel
+            if (f.depth < depthLimit) next ++= novel
+          case _ => () // warn + drop (src/main.rs:136)
+        }
+      }
+
+      // --- fetchers: images ---
+      adm.iterator.filter(_.kind == Finding.Image).foreach { f =>
+        SynthWeb.fetch(f.url, cfg) match {
+          case _: SynthWeb.ImageBody => imageIds += f.url
+          case _                     => () // warn + drop (src/main.rs:143)
+        }
+      }
+
+      queue = next.result().distinct.sorted(canonicalOrd)
+      wave += 1
+    }
+
+    SimResult(
+      frontiers.result(),
+      archive.toSet,
+      hostVisits.iterator.map { case (h, v) => (h, v.toLong) }.toMap,
+      admissions.result(),
+      imageIds.result()
+    )
+  }
+
+  /** process_page (src/main.rs:161-173): origin-base rewrite, tokenize,
+    * resolve; per-page HashSet dedup (src/main.rs:193-204). */
+  def processPage(pageUrl: String, html: String, depth: Int): Set[Finding] = {
+    val origin = Canon.canonicalize(pageUrl).get.origin
+    val links = HtmlTok.extract(html)
+    val pages = links.pageLinks.flatMap(Canon.resolveLink(_, origin))
+      .map(u => Finding(Finding.Page, u.render, depth))
+    val images = links.imageLinks.flatMap(Canon.resolveLink(_, origin))
+      .map(u => Finding(Finding.Image, u.render, 0))
+    (pages ++ images).toSet
+  }
+}

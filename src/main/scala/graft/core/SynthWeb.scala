@@ -1,0 +1,181 @@
+package graft.core
+
+/** Deterministic synthetic web: a pure function `canonical URL → page
+  * HTML | image bytes | 404`. The fetch source for the Spark engine,
+  * the RefSim conformance oracle, and the benchmarks alike (FIXTURES.md
+  * §1) — same URL in, same bytes out, on any JVM, no I/O, no clock.
+  *
+  * URL space:
+  *   pages  http://h<i>.test/p<j>        i<nHosts, j<pagesPerHost
+  *   images http://h<i>.test/img/a<k>.(png|jpg)   k<imagesPerHost
+  *
+  * Pages link to pages/images with targets derived from
+  * xxhash64(url, slot); rendering exercises the canonicalizer (relative
+  * links vs the origin-base rule, uppercase scheme/host, explicit
+  * default ports, fragments, malformed hosts) per
+  * /root/reference/src/main.rs:161-164,207-221.
+  */
+object SynthWeb {
+
+  final case class WebConfig(
+      nHosts: Int = 8,
+      pagesPerHost: Int = 40,
+      imagesPerHost: Int = 20,
+      linksPerPage: Int = 8,
+      imagesPerPage: Int = 2,
+      relFrac: Double = 0.35,      // same-host links rendered relative
+      hotFrac: Double = 0.0,       // skew: fraction of links aimed at host 0
+      malformedFrac: Double = 0.04,
+      fancyFrac: Double = 0.20,    // uppercase / :80 / #fragment variants
+      jpegFrac: Double = 0.5,
+      seed: Long = 42L
+  )
+
+  sealed trait FetchResult
+  final case class PageBody(html: String) extends FetchResult
+  final case class ImageBody(bytes: Array[Byte], w: Int, h: Int, fmt: String) extends FetchResult
+  case object NotFound extends FetchResult
+
+  def hostName(i: Int): String = s"h$i.test"
+  def pageUrl(host: Int, page: Int): String = s"http://${hostName(host)}/p$page"
+  def imageUrl(host: Int, img: Int, jpeg: Boolean): String =
+    s"http://${hostName(host)}/img/a$img.${if (jpeg) "jpg" else "png"}"
+
+  private val PagePath = """/p(\d+)""".r
+  private val ImagePath = """/img/a(\d+)\.(png|jpg)""".r
+  private val HostName = """h(\d+)\.test""".r
+
+  /** Deterministic unit-interval draw from a hash. */
+  @inline private def frac(h: Long): Double = ((h >>> 11).toDouble) / (1L << 53).toDouble
+
+  /** Classify + serve a canonical URL. Fragment is ignored for fetching
+    * (a GET of `u#x` retrieves `u`), like any HTTP client. */
+  def fetch(url: String, cfg: WebConfig): FetchResult = {
+    Canon.parseAbsolute(url) match {
+      case Canon.Absolute(u) if u.scheme == "http" && u.port == -1 =>
+        u.host match {
+          case HostName(is) =>
+            val i = is.toInt
+            if (i >= cfg.nHosts) return NotFound
+            u.path match {
+              case PagePath(js) if js.toInt < cfg.pagesPerHost =>
+                PageBody(pageHtml(i, js.toInt, cfg))
+              case ImagePath(ks, ext) if ks.toInt < cfg.imagesPerHost =>
+                val id = imageUrl(i, ks.toInt, ext == "jpg")
+                val (w, h) = imageDims(id)
+                val img = Imaging.synthPixels(id, w, h)
+                val bytes = if (ext == "jpg") Imaging.encodeJpeg(img) else Imaging.encodePng(img)
+                ImageBody(bytes, w, h, if (ext == "jpg") "jpeg" else "png")
+              case _ => NotFound
+            }
+          case _ => NotFound
+        }
+      case _ => NotFound
+    }
+  }
+
+  def imageDims(imageId: String): (Int, Int) = {
+    val h = XxHash64.hash(imageId)
+    (16 + (Math.floorMod(h, 49L)).toInt, 16 + (Math.floorMod(h >>> 17, 49L)).toInt)
+  }
+
+  private val captionWords = Vector(
+    "amber", "basalt", "cirrus", "delta", "ember", "fjord", "glade", "harbor",
+    "isle", "juniper", "karst", "lagoon", "mesa", "nimbus", "onyx", "prairie",
+    "quartz", "ridge", "summit", "tundra", "umber", "vale", "willow", "zephyr")
+
+  /** Deterministic caption for an image id — conceptually the alt text
+    * the page carries for it; pure fn so engine and oracle agree. */
+  def caption(imageId: String): String = {
+    val h = XxHash64.hash(imageId)
+    val n = 4 + Math.floorMod(h, 5L).toInt
+    (0 until n).map { i =>
+      captionWords(Math.floorMod(XxHash64.mix(h, i.toLong), captionWords.size.toLong).toInt)
+    }.mkString(" ")
+  }
+
+  def imagePhash(imageId: String): Long = {
+    val (w, h) = imageDims(imageId)
+    Imaging.aHash(Imaging.synthPixels(imageId, w, h))
+  }
+
+  /** Pure page generator. Depends only on (host, page, cfg). */
+  def pageHtml(host: Int, page: Int, cfg: WebConfig): String = {
+    val self = pageUrl(host, page)
+    val base = XxHash64.mix(XxHash64.hash(self), cfg.seed)
+    val sb = new StringBuilder(1024)
+    sb.append("<!DOCTYPE html>\n<html>\n<head><title>page ").append(page)
+      .append(" of host ").append(host).append("</title>\n")
+      .append("<script>var x = \"<a href='/not-a-real-link'>\";</script>\n")
+      .append("</head>\n<body>\n<!-- <a href=\"/commented-out\">nope</a> -->\n")
+      .append("<h1>synthetic page</h1>\n")
+
+    var l = 0
+    while (l < cfg.linksPerPage) {
+      val r = XxHash64.mix(base, 1000L + l)
+      if (frac(r) < cfg.malformedFrac) {
+        // invalid domain char => url crate parse error => warn + drop
+        sb.append("<a href=\"http://bad host").append(Math.floorMod(r, 97L))
+          .append(".test/x\">broken</a>\n")
+      } else {
+        val r2 = XxHash64.mix(r, 1L)
+        val tgtHost =
+          if (frac(r2) < cfg.hotFrac) 0
+          else Math.floorMod(XxHash64.mix(r, 2L), cfg.nHosts.toLong).toInt
+        val tgtPage = Math.floorMod(XxHash64.mix(r, 3L), cfg.pagesPerHost.toLong).toInt
+        val style = XxHash64.mix(r, 4L)
+        val href =
+          if (tgtHost == host && frac(XxHash64.mix(r, 5L)) < cfg.relFrac) {
+            // relative forms — resolve against ORIGIN per the reference's
+            // set_path("") rewrite, all reaching /p<tgtPage>
+            Math.floorMod(style, 4L) match {
+              case 0 => s"p$tgtPage"
+              case 1 => s"./p$tgtPage"
+              case 2 => s"../p$tgtPage"
+              case _ => s"/p$tgtPage"
+            }
+          } else if (frac(XxHash64.mix(r, 6L)) < cfg.fancyFrac) {
+            Math.floorMod(style, 3L) match {
+              case 0 => s"HTTP://H$tgtHost.TEST/p$tgtPage"      // case-normalized away
+              case 1 => s"http://h$tgtHost.test:80/p$tgtPage"   // default port dropped
+              case _ => s"http://h$tgtHost.test/p$tgtPage#s${Math.floorMod(style, 3L)}" // fragment KEPT => distinct finding
+            }
+          } else s"http://h$tgtHost.test/p$tgtPage"
+        sb.append("<p>lorem <a href=\"").append(href).append("\">link ").append(l).append("</a></p>\n")
+      }
+      l += 1
+    }
+
+    var m = 0
+    while (m < cfg.imagesPerPage) {
+      val r = XxHash64.mix(base, 2000L + m)
+      val tgtImg = Math.floorMod(XxHash64.mix(r, 1L), cfg.imagesPerHost.toLong).toInt
+      val jpeg = frac(XxHash64.mix(r, 2L)) < cfg.jpegFrac
+      val ext = if (jpeg) "jpg" else "png"
+      val id = imageUrl(host, tgtImg, jpeg)
+      val src =
+        if (frac(XxHash64.mix(r, 3L)) < cfg.relFrac) s"/img/a$tgtImg.$ext"
+        else id
+      sb.append("<img src=\"").append(src).append("\" alt=\"")
+        .append(caption(id)).append("\">\n")
+      m += 1
+    }
+
+    sb.append("</body>\n</html>\n")
+    sb.toString
+  }
+
+  /** Engine-extension robots.txt, deterministic per host: every 3rd host
+    * disallows /img/, every 5th disallows /p1. Absent in the reference
+    * (SURVEY.md §2.8 D4) — OFF in conformance runs. */
+  def robots(host: String): Seq[String] = host match {
+    case HostName(is) =>
+      val i = is.toInt
+      (if (i % 3 == 1) Seq("/img/") else Seq.empty) ++
+        (if (i % 5 == 2) Seq("/p1") else Seq.empty)
+    case _ => Seq.empty
+  }
+
+  /** Default seed list: page 0 of the first n hosts. */
+  def seeds(n: Int): Seq[String] = (0 until n).map(pageUrl(_, 0))
+}

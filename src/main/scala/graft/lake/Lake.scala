@@ -1,0 +1,173 @@
+package graft.lake
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Iceberg-shaped table layer over Parquet (SURVEY.md §1.4): no
+  * `iceberg-spark-runtime` jar exists in this sandbox, so tables are
+  * Parquet data files + JSON snapshot manifests with the Iceberg
+  * properties the north rule needs — atomic snapshot-per-wave commits,
+  * per-data-file (= per-partition) row-count lineage, time travel to
+  * any wave, and resume from the last committed snapshot. The API
+  * mirrors Iceberg's snapshot model so a real runtime can replace the
+  * I/O adapter on a cluster.
+  *
+  * Layout per table:
+  *   <root>/<name>/data/wave=<k>/part-*.parquet
+  *   <root>/<name>/_meta/snapshot-<k>.json   (atomic rename commit)
+  */
+final case class DataFileMeta(path: String, rows: Long)
+
+final case class SnapshotMeta(
+    table: String,
+    wave: Int,
+    files: Seq[DataFileMeta],
+    totalRows: Long
+)
+
+class LakeTable(spark: SparkSession, rootDir: String, val name: String) {
+  private val tableDir: Path = Paths.get(rootDir, name)
+  private val dataDir: Path = tableDir.resolve("data")
+  private val metaDir: Path = tableDir.resolve("_meta")
+  Files.createDirectories(metaDir)
+
+  private val mapper = new ObjectMapper()
+
+  private def snapshotPath(wave: Int): Path = metaDir.resolve(s"snapshot-$wave.json")
+
+  /** Commit `df` as the data of snapshot `wave`. Idempotent: re-running
+    * a crashed wave overwrites its (uncommitted) data dir; the snapshot
+    * JSON lands last via atomic rename, so readers never observe a
+    * half-written wave. Per-file row counts come from Parquet footers
+    * (metadata-only, no data scan). */
+  def commit(wave: Int, df: DataFrame): SnapshotMeta = {
+    val waveDir = dataDir.resolve(s"wave=$wave")
+    df.write.mode("overwrite").parquet(waveDir.toString)
+    if (!Files.list(waveDir).iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))) {
+      // zero-partition input wrote no data file; keep one (empty, with
+      // schema) so time travel / readAll never hit a missing wave
+      df.repartition(1).write.mode("overwrite").parquet(waveDir.toString)
+    }
+    val conf = new Configuration()
+    val files = Files.list(waveDir).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .map { p =>
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new HPath(p.toString), conf))
+        val rows = try reader.getRecordCount finally reader.close()
+        DataFileMeta(p.toString, rows)
+      }.toVector.sortBy(_.path)
+    val snap = SnapshotMeta(name, wave, files, files.map(_.rows).sum)
+    writeSnapshot(snap)
+    snap
+  }
+
+  private def writeSnapshot(snap: SnapshotMeta): Unit = {
+    val node = mapper.createObjectNode()
+    node.put("table", snap.table)
+    node.put("wave", snap.wave)
+    node.put("totalRows", snap.totalRows)
+    val arr = node.putArray("files")
+    snap.files.foreach { f =>
+      val fn = arr.addObject()
+      fn.put("path", f.path)
+      fn.put("rows", f.rows)
+    }
+    val tmp = metaDir.resolve(s".tmp-snapshot-${snap.wave}.json")
+    Files.writeString(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node))
+    Files.move(tmp, snapshotPath(snap.wave), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def snapshot(wave: Int): Option[SnapshotMeta] = {
+    val p = snapshotPath(wave)
+    if (!Files.exists(p)) None
+    else {
+      val node = mapper.readTree(Files.readString(p))
+      val files = node.get("files").elements().asScala.map { f =>
+        DataFileMeta(f.get("path").asText(), f.get("rows").asLong())
+      }.toVector
+      Some(SnapshotMeta(node.get("table").asText(), node.get("wave").asInt(), files,
+        node.get("totalRows").asLong()))
+    }
+  }
+
+  def committedWaves: Seq[Int] =
+    if (!Files.exists(metaDir)) Seq.empty
+    else Files.list(metaDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("snapshot-") && s.endsWith(".json") =>
+        s.stripPrefix("snapshot-").stripSuffix(".json").toInt
+      }.toVector.sorted
+
+  def latestWave: Option[Int] = committedWaves.lastOption
+
+  /** Time travel: the rows of exactly snapshot `wave`. */
+  def readWave(wave: Int): DataFrame = {
+    val snap = snapshot(wave).getOrElse(
+      throw new IllegalStateException(s"$name: no snapshot for wave $wave"))
+    readFiles(snap.files)
+  }
+
+  /** Cumulative read of snapshots 0..throughWave (append-only tables). */
+  def readThrough(throughWave: Int): DataFrame = {
+    val files = committedWaves.filter(_ <= throughWave).flatMap(w => snapshot(w).get.files)
+    readFiles(files)
+  }
+
+  def readAll(): DataFrame = readThrough(Int.MaxValue)
+
+  private def readFiles(files: Seq[DataFileMeta]): DataFrame = {
+    if (files.isEmpty)
+      throw new IllegalStateException(s"$name: empty file list (guard with rowCount first)")
+    spark.read.parquet(files.map(_.path): _*)
+  }
+
+  def rowCountThrough(throughWave: Int): Long =
+    committedWaves.filter(_ <= throughWave).flatMap(w => snapshot(w).map(_.totalRows)).sum
+}
+
+/** Run-level commit log: wave k is COMPLETE iff `_run/wave-<k>.json`
+  * exists; it is written only after every table's snapshot k landed.
+  * Resume scans for the max complete wave and restarts the loop there.
+  */
+class RunLog(rootDir: String) {
+  private val runDir = Paths.get(rootDir, "_run")
+  Files.createDirectories(runDir)
+  private val mapper = new ObjectMapper()
+
+  def markComplete(wave: Int, stats: Map[String, Long]): Unit = {
+    val node = mapper.createObjectNode()
+    node.put("wave", wave)
+    val s = node.putObject("stats")
+    stats.foreach { case (k, v) => s.put(k, v) }
+    val tmp = runDir.resolve(s".tmp-wave-$wave.json")
+    Files.writeString(tmp, mapper.writeValueAsString(node))
+    Files.move(tmp, runDir.resolve(s"wave-$wave.json"), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def stats(wave: Int): Map[String, Long] = {
+    val p = runDir.resolve(s"wave-$wave.json")
+    if (!Files.exists(p)) Map.empty
+    else {
+      val node = mapper.readTree(Files.readString(p)).get("stats")
+      node.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+    }
+  }
+
+  def completeWaves: Seq[Int] =
+    Files.list(runDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("wave-") && s.endsWith(".json") =>
+        s.stripPrefix("wave-").stripSuffix(".json").toInt
+      }.toVector.sorted
+
+  def lastCompleteWave: Option[Int] = completeWaves.lastOption
+}
