@@ -179,7 +179,10 @@ class Crawler(spark: SparkSession, cfg: CrawlConfig) extends Serializable {
     // Bloom pre-filter routes definitely-new rows around the anti-join;
     // only maybe-seen rows probe the exact seen table, so the join's
     // probe side shrinks to ~|actually seen| + FP.
-    val seen = seenT.readAll().select($"kind", $"url", $"depth")
+    // readThrough(wave), NOT readAll(): after a mid-wave crash the lake
+    // may hold a torn wave+1 snapshot; scoping the read to the waves the
+    // run log marked complete keeps the re-run byte-identical
+    val seen = seenT.readThrough(wave).select($"kind", $"url", $"depth")
     val novel0 = bloomState.filter match {
       case Some(bf) if cfg.bloom =>
         val bfB = sc.broadcast(bf)
@@ -296,9 +299,10 @@ class Crawler(spark: SparkSession, cfg: CrawlConfig) extends Serializable {
       case None =>
         initRun(); 0
       case Some(k) =>
-        // resume: rebuild the bloom from the committed seen table
+        // resume: rebuild the bloom from the COMPLETE waves only (a torn
+        // wave k+1 snapshot must not leak into wave k's re-run)
         if (cfg.bloom && seenT.rowCountThrough(k) > 0)
-          bloomState.rebuildFrom(seenT.readAll(), spark)
+          bloomState.rebuildFrom(seenT.readThrough(k), spark)
         k
     }
     var wave = startWave

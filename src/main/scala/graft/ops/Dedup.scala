@@ -1,0 +1,199 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.XxHash64
+
+/** Deduplication operators over the `documents` table — the pieces a
+  * training-data pipeline needs at 100 TB:
+  *
+  *  - exact dedup: hash-groupBy (one shuffle on the fingerprint)
+  *  - n-gram Jaccard: explode-shingles + equi-join formulation (NOT
+  *    array-intersect cross join) so similarity is a shuffle on the
+  *    shingle key — the only formulation that survives a 100× scale-up
+  *  - MinHash + LSH: signature via one groupBy(min×K), banding via
+  *    explode + bucket equi-join; candidates then verified exactly
+  *  - SimHash: pure scalar function per doc (embarrassingly parallel,
+  *    zero shuffle), near-dup candidates via 16-bit chunk banding
+  */
+object Dedup {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Exact dedup by normalized-text fingerprint. */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .groupBy(md5(lower(trim($"text"))).as("text_fp"))
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("copies"))
+  }
+
+  /** Distinct word 3-gram shingles per doc: (doc_id, source, shingle).
+    * element_at is 1-based like the DuckDB oracle's array indexing. */
+  private def shingles(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .select($"doc_id", $"source", split(trim($"text"), "\\s+").as("w"))
+      .filter(size($"w") >= n)
+      .select($"doc_id", $"source", explode(
+        transform(sequence(lit(1), size($"w") - (n - 1)), i =>
+          concat_ws(" ", (0 until n).map(o => element_at(col("w"), i + o)): _*))
+      ).as("shingle"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard pairs within a `source` block: intersection
+    * via shingle equi-join + pair count; union by inclusion-exclusion.
+    * Integer outputs so the DuckDB oracle compares exactly. */
+  def ngramJaccard(spark: SparkSession, dir: String, minInter: Int = 3): DataFrame = {
+    import spark.implicits._
+    val sh = shingles(spark, dir).persist()
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.source") === col("b.source") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+      .filter($"inter" >= minInter)
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "a_sh"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_sh", "b_sh"), "b_id")
+      .select($"a_id", $"b_id", $"inter",
+        ($"a_sh" + $"b_sh" - $"inter").as("uni"))
+  }
+
+  // ------------------------------------------------------------ MinHash
+
+  val MinHashK = 32   // signature length
+  val Bands = 8       // 8 bands x 4 rows
+  val RowsPerBand = 4
+
+  /** MinHash signatures: one aggregation computing all K mins at once
+    * (single shuffle by doc_id). Hash family: xxhash64 with per-row
+    * seed over the shingle. */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = shingles(spark, dir)
+    val hashUdf = udf((s: String, i: Int) => XxHash64.hash(s, 1000L + i))
+    val mins = (0 until MinHashK).map(i =>
+      min(hashUdf($"shingle", lit(i))).as(s"h$i"))
+    sh.groupBy($"doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH banding: explode each signature into (band, band_hash) keys,
+    * self-join on the bucket, verify candidates with exact Jaccard on
+    * the shingle sets, keep pairs over the threshold (as intersection /
+    * union integer counts). */
+  def minhashNearDup(spark: SparkSession, dir: String, minJaccardPct: Int = 50): DataFrame = {
+    import spark.implicits._
+    val sig = minhashSignatures(spark, dir)
+    val bandCols = (0 until Bands).map { b =>
+      val cols = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
+    }
+    val buckets = sig.select($"doc_id", explode(array(bandCols: _*)).as("bb"))
+      .select($"doc_id", $"bb.band", $"bb.bh")
+    val cands = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    // exact verification touches ONLY candidate pairs: per-doc shingle
+    // sets are small (bounded by doc length), so array_intersect on the
+    // joined pair beats re-running the full pairwise shingle join
+    val sets = shingles(spark, dir).groupBy($"doc_id")
+      .agg(collect_set($"shingle").as("shset"))
+    cands
+      .join(sets.select($"doc_id".as("a_id"), $"shset".as("sa")), "a_id")
+      .join(sets.select($"doc_id".as("b_id"), $"shset".as("sb")), "b_id")
+      .withColumn("inter", size(array_intersect($"sa", $"sb")).cast("bigint"))
+      .withColumn("uni", (size($"sa") + size($"sb")).cast("bigint") - $"inter")
+      .filter($"inter" * 100 >= $"uni" * minJaccardPct)
+      .select($"a_id", $"b_id", $"inter", $"uni")
+  }
+
+  // ------------------------------------------------------------ SimHash
+
+  /** 64-bit SimHash of whitespace tokens — pure scalar function, no
+    * shuffle; the natural 100 TB shape (map-only over the scan). */
+  def simhash64(text: String): Long = {
+    val counts = new Array[Int](64)
+    var start = 0
+    val t = text.trim
+    val n = t.length
+    var i = 0
+    def feed(tok: String): Unit = {
+      if (tok.nonEmpty) {
+        val h = XxHash64.hash(tok)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+    }
+    while (i <= n) {
+      if (i == n || t.charAt(i).isWhitespace) {
+        if (i > start) feed(t.substring(start, i))
+        start = i + 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  def simhashDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = udf(simhash64 _)
+    docs(spark, dir).select($"doc_id", sh($"text").as("simhash"))
+  }
+
+  /** SimHash near-dup: band the 64-bit signature into 4×16-bit chunks;
+    * any pair agreeing on a chunk is a candidate (guaranteed to catch
+    * every pair with hamming distance <= 3); verify by popcount. */
+  def simhashNearDup(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    import spark.implicits._
+    val sig = simhashDf(spark, dir)
+    val chunkCols = (0 until 4).map(c =>
+      struct(lit(c).as("c"), shiftright($"simhash", c * 16).bitwiseAND(lit(0xffffL)).as("ch")))
+    val buckets = sig.select($"doc_id", $"simhash", explode(array(chunkCols: _*)).as("cb"))
+      .select($"doc_id", $"simhash", $"cb.c", $"cb.ch")
+    val ham = udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
+    buckets.as("a").join(buckets.as("b"),
+        col("a.c") === col("b.c") && col("a.ch") === col("b.ch") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        ham(col("a.simhash"), col("b.simhash")).as("hamming"))
+      .distinct()
+      .filter($"hamming" <= maxHamming)
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(lower(trim(text))) AS text_fp, min(doc_id) AS keep_id,
+        |count(*) AS copies FROM documents GROUP BY 1""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, source,
+        |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        |  FROM (SELECT doc_id, source, w, unnest(generate_series(1, len(w) - 2)) AS i
+        |        FROM toks WHERE len(w) >= 3)),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source = b.source
+        |       AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT i.a_id, i.b_id, i.inter, sa.n_sh + sb.n_sh - i.inter AS uni
+        |FROM inter i JOIN sizes sa ON sa.doc_id = i.a_id
+        |JOIN sizes sb ON sb.doc_id = i.b_id""".stripMargin
+  )
+}

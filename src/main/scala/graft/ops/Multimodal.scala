@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Imaging, SynthWeb, XxHash64}
+
+/** Multimodal-column operators: image/audio/video as opaque `binary`
+  * columns with typed metadata, processed with `mapPartitions` (the
+  * Scala analog of batched Pandas-UDF plumbing — one decode context
+  * per partition, rows streamed through it).
+  *
+  * Image decode / feature-extract / resize are REAL (javax.imageio is
+  * in the JDK). Audio/video decoding has no codec libs in this
+  * container, so those steps are deterministic STUBS — clearly marked —
+  * while the Spark-side schema, partitioning, and batch shape are real
+  * and tested.
+  */
+object Multimodal {
+
+  final case class ImageFeatures(
+      image_id: String, w: Int, h: Int, fmt: String,
+      mean_lum: Double, phash: Long, thumb: Array[Float])
+
+  /** Deterministic in-plan image corpus: n images synthesized from the
+    * same generator the crawler fetches from (binary column + typed
+    * metadata, the input_hint shape). */
+  def syntheticImages(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(n.toLong).select($"id")
+      .repartition(math.min(n, 32))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { i =>
+          val jpeg = i % 2 == 0
+          val id = SynthWeb.imageUrl((i % 7).toInt, i.toInt, jpeg)
+          val (w, h) = SynthWeb.imageDims(id)
+          val img = Imaging.synthPixels(id, w, h)
+          val bytes = if (jpeg) Imaging.encodeJpeg(img) else Imaging.encodePng(img)
+          (id, bytes, w, h, if (jpeg) "jpeg" else "png", SynthWeb.caption(id),
+            Imaging.aHash(img))
+        }
+      }
+      .toDF("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+  }
+
+  /** Decode + feature-extract over a binary image column: dimensions,
+    * mean luminance, aHash, and an 8x8 grayscale thumbnail vector.
+    * One ImageIO context per partition; decode failures are dropped
+    * (counted upstream in real pipelines). */
+  def imageFeatures(images: DataFrame): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.select($"image_id", $"bytes", $"fmt")
+      .as[(String, Array[Byte], String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes, fmt) =>
+          try {
+            val img = Imaging.decode(bytes)
+            val thumb = grayThumb8(img)
+            val mean = thumb.map(_.toDouble).sum / thumb.length
+            Some(ImageFeatures(id, img.getWidth, img.getHeight, fmt,
+              mean, Imaging.aHash(img), thumb))
+          } catch { case _: Exception => None }
+        }
+      }
+      .toDF()
+  }
+
+  /** 8x8 average-pooled grayscale thumbnail (the "resize" op). */
+  def grayThumb8(img: java.awt.image.BufferedImage): Array[Float] = {
+    val sums = new Array[Double](64)
+    val counts = new Array[Int](64)
+    val w = img.getWidth; val h = img.getHeight
+    var y = 0
+    while (y < h) {
+      val cy = math.min(7, y * 8 / h)
+      var x = 0
+      while (x < w) {
+        val cx = math.min(7, x * 8 / w)
+        val p = img.getRGB(x, y)
+        sums(cy * 8 + cx) +=
+          (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 + (p & 0xff) * 114) / 1000.0
+        counts(cy * 8 + cx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(64)(i => if (counts(i) == 0) 0f else (sums(i) / counts(i)).toFloat)
+  }
+
+  /** Near-duplicate images by perceptual-hash chunk banding (same shape
+    * as Dedup.simhashNearDup, over the images table's phash column). */
+  def phashNearDup(images: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    val chunkCols = (0 until 4).map(c =>
+      struct(lit(c).as("c"), shiftright($"phash", c * 16).bitwiseAND(lit(0xffffL)).as("ch")))
+    val buckets = images.select($"image_id", $"phash",
+        explode(array(chunkCols: _*)).as("cb"))
+      .select($"image_id", $"phash", $"cb.c", $"cb.ch")
+    val ham = udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
+    buckets.as("a").join(buckets.as("b"),
+        col("a.c") === col("b.c") && col("a.ch") === col("b.ch") &&
+          col("a.image_id") < col("b.image_id"))
+      .select(col("a.image_id").as("a_id"), col("b.image_id").as("b_id"),
+        ham(col("a.phash"), col("b.phash")).as("hamming"))
+      .distinct()
+      .filter($"hamming" <= maxHamming)
+  }
+
+  /** STUB — video frame sampling. No video codecs exist in this
+    * container, so the "decode" is a deterministic fake: the binary
+    * payload is treated as a concatenation of fixed-size frames and
+    * every `stride`-th slice is hashed as the sampled frame. The Spark
+    * plumbing (binary column in, exploded typed frames out, partition-
+    * local batch loop) is the real shape a codec-backed impl drops into. */
+  def sampleFrames(videos: DataFrame, frameBytes: Int = 256, stride: Int = 4): DataFrame = {
+    val spark = videos.sparkSession
+    import spark.implicits._
+    videos.select($"video_id", $"bytes").as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val nFrames = bytes.length / frameBytes
+          (0 until nFrames by stride).map { f =>
+            val slice = java.util.Arrays.copyOfRange(bytes, f * frameBytes, (f + 1) * frameBytes)
+            (id, f, XxHash64.hash(slice, 0L)) // ??? real impl: decode + feature-extract
+          }
+        }
+      }
+      .toDF("video_id", "frame_idx", "frame_sig")
+  }
+}

@@ -1,0 +1,148 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The crawl engine's relational stages (SURVEY.md §2) expressed over
+  * the driver's TPC-H-ish tables so the DuckDB oracle can check them:
+  * anti-join (J1), budget-window admission (A3), host aggregation (A2),
+  * union+distinct (U1/M5), broadcast dim join (J2), substring predicate
+  * (P3), top-k priority (per-host priority queue), tumbling-window
+  * metrics. Filters and projections stay declarative so Catalyst pushes
+  * them into the parquet scans.
+  */
+object Relational {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Driver's canonical example (kept verbatim as the smoke query). */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(sum($"l_quantity").as("sum_qty"))
+      .select($"l_returnflag", $"sum_qty")
+  }
+
+  /** J1 — left-anti join, the novelty check's shape: customers with no
+    * order above 150k (predicate pushed into the right side's scan). */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val big = t(spark, dir, "orders").filter($"o_totalprice" > 150000.0)
+      .select($"o_custkey".as("c_custkey"))
+    t(spark, dir, "customer").select($"c_custkey")
+      .join(big, Seq("c_custkey"), "left_anti")
+  }
+
+  /** Left-semi join (EXISTS): customers with at least one order above
+    * 100k. */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val big = t(spark, dir, "orders").filter($"o_totalprice" > 100000.0)
+      .select($"o_custkey".as("c_custkey"))
+    t(spark, dir, "customer").select($"c_custkey")
+      .join(big, Seq("c_custkey"), "left_semi")
+  }
+
+  /** A3 — the 257-cap admission window, with a cap of 5 so it binds on
+    * this data: first 5 events per user in (ts, event_id) order. */
+  def budgetAdmission(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    t(spark, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 5)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_admitted"))
+  }
+
+  /** A2 — per-host visit counting. */
+  def hostVisits(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "events").groupBy($"user_id")
+      .agg(count(lit(1)).as("visits"))
+  }
+
+  /** U1/M5 — union of two tagged projections then distinct, the
+    * page-links ∪ image-links shape. */
+  def unionDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val a = t(spark, dir, "orders").select(lit("page").as("kind"), $"o_custkey".as("key"))
+    val b = t(spark, dir, "customer").select(lit("image").as("kind"), $"c_custkey".as("key"))
+    a.unionByName(b).distinct()
+  }
+
+  /** J2 — broadcast join against a small dimension (the budget/robots
+    * table shape): customers per nation name. */
+  def broadcastJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "customer")
+      .join(broadcast(t(spark, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  /** P3 — the scheme predicate is substring containment, not equality;
+    * same shape here over event_type. */
+  def substringFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "events")
+      .filter($"event_type".contains("ur")) // 'purchase'
+      .select($"event_id", $"event_type")
+  }
+
+  /** Per-host priority queue — top-3 orders per customer by
+    * (price desc, key). */
+  def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    t(spark, dir, "orders")
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter($"rnk" <= 3)
+      .select($"o_custkey", $"o_orderkey", $"rnk")
+  }
+
+  /** Per-wave metrics shape: tumbling hourly counts per event type. */
+  def tumblingWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "events")
+      .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      "SELECT l_returnflag, sum(l_quantity) AS sum_qty FROM lineitem GROUP BY 1",
+    "q_anti_join" ->
+      """SELECT c_custkey FROM customer c WHERE NOT EXISTS
+        |(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000.0)""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey FROM customer c WHERE EXISTS
+        |(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000.0)""".stripMargin,
+    "q_budget_admission" ->
+      """SELECT user_id, count(*) AS n_admitted FROM (
+        |  SELECT user_id, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events) WHERE rn <= 5 GROUP BY user_id""".stripMargin,
+    "q_host_visits" ->
+      "SELECT user_id, count(*) AS visits FROM events GROUP BY user_id",
+    "q_union_distinct" ->
+      """SELECT DISTINCT kind, key FROM (
+        |  SELECT 'page' AS kind, o_custkey AS key FROM orders
+        |  UNION ALL SELECT 'image' AS kind, c_custkey AS key FROM customer)""".stripMargin,
+    "q_broadcast_join" ->
+      """SELECT n_name, count(*) AS n_customers FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name""".stripMargin,
+    "q_substring_filter" ->
+      "SELECT event_id, event_type FROM events WHERE contains(event_type, 'ur')",
+    "q_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, rnk FROM (
+        |  SELECT o_custkey, o_orderkey, row_number() OVER
+        |    (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders) WHERE rnk <= 3""".stripMargin,
+    "q_tumbling_window" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin
+  )
+}

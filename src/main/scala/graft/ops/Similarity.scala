@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.XxHash64
+
+/** Similarity search over the `embeddings` table (Array[Float],
+  * 64-dim): brute-force cosine top-k as the exact baseline, and a
+  * signed-random-projection (SRP) LSH variant as the scale path —
+  * candidates come from bucket equi-joins, never a full cross join.
+  * Arithmetic is done in double (floats widened) with sequential
+  * `aggregate` folds so the DuckDB oracle computes the same values.
+  */
+object Similarity {
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+
+  /** Exact brute-force cosine top-k per vector. O(n²) — the
+    * correctness baseline the LSH path is measured against. */
+  def bruteTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir).select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
+    val pairs = e.select($"vec_id".as("a_id"), $"embedding".as("ea"), $"nrm".as("na"))
+      .crossJoin(e.select($"vec_id".as("b_id"), $"embedding".as("eb"), $"nrm".as("nb")))
+      .filter($"a_id" =!= $"b_id")
+      .select($"a_id", $"b_id", (dot($"ea", $"eb") / ($"na" * $"nb")).as("sim"))
+    val w = Window.partitionBy($"a_id").orderBy($"sim".desc, $"b_id")
+    pairs.withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter($"rnk" <= k)
+      .select($"a_id", $"b_id", $"rnk")
+  }
+
+  /** Near-duplicate pairs over a cosine threshold (percent, to keep the
+    * driver compare on integers + ids). */
+  def cosineNearDup(spark: SparkSession, dir: String, minCosPct: Int = 40): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir).select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
+    e.select($"vec_id".as("a_id"), $"embedding".as("ea"), $"nrm".as("na"))
+      .crossJoin(e.select($"vec_id".as("b_id"), $"embedding".as("eb"), $"nrm".as("nb")))
+      .filter($"a_id" < $"b_id")
+      .filter(dot($"ea", $"eb") / ($"na" * $"nb") >= lit(minCosPct / 100.0))
+      .select($"a_id", $"b_id")
+  }
+
+  // ------------------------------------------------- SRP-LSH scale path
+
+  val Planes = 16     // signature bits
+  val SrpBands = 2    // 2 bands x 8 bits
+  val BitsPerBand = 8
+
+  /** Deterministic ±1 hyperplane component for (plane, dim). */
+  @inline private def planeSign(p: Int, d: Int): Int =
+    if ((XxHash64.mix(0x5EED0000L + p, d.toLong) & 1L) == 0L) 1 else -1
+
+  /** 16-bit signed-random-projection signature of an embedding. */
+  def srpSignature(v: Seq[Float]): Int = {
+    var sig = 0
+    var p = 0
+    while (p < Planes) {
+      var s = 0.0
+      var d = 0
+      while (d < v.length) { s += v(d) * planeSign(p, d); d += 1 }
+      if (s > 0) sig |= (1 << p)
+      p += 1
+    }
+    sig
+  }
+
+  /** ANN via SRP-LSH banding: bucket equi-join on band keys generates
+    * candidates (plus same-bucket diversity), exact cosine ranks them,
+    * top-k per query. Approximate: recall vs bruteTopK is asserted in
+    * SimilaritySpec, not 1.0 by construction. */
+  def lshTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val sigUdf = udf((v: Seq[Float]) => srpSignature(v))
+    val e = emb(spark, dir).select($"vec_id", $"embedding",
+      norm($"embedding").as("nrm"), sigUdf($"embedding").as("sig"))
+    val bandCols = (0 until SrpBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright($"sig", b * BitsPerBand).bitwiseAND(lit((1 << BitsPerBand) - 1)).as("bk"))
+    }
+    val buckets = e.select($"vec_id", $"embedding", $"nrm",
+        explode(array(bandCols: _*)).as("bb"))
+      .select($"vec_id", $"embedding", $"nrm", $"bb.band", $"bb.bk")
+    val cands = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        (dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm"))).as("sim"))
+      .groupBy($"a_id", $"b_id").agg(first($"sim").as("sim"))
+    val w = Window.partitionBy($"a_id").orderBy($"sim".desc, $"b_id")
+    cands.withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter($"rnk" <= k)
+      .select($"a_id", $"b_id", $"rnk")
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_ann_bruteforce" ->
+      """SELECT a_id, b_id, rnk FROM (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |      list_dot_product(a.embedding, b.embedding) /
+        |      (sqrt(list_dot_product(a.embedding, a.embedding)) *
+        |       sqrt(list_dot_product(b.embedding, b.embedding))) DESC, b.vec_id) AS rnk
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+        |WHERE rnk <= 5""".stripMargin,
+    "q_cosine_neardup" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.embedding, b.embedding) /
+        |  (sqrt(list_dot_product(a.embedding, a.embedding)) *
+        |   sqrt(list_dot_product(b.embedding, b.embedding))) >= 0.4""".stripMargin
+  )
+}

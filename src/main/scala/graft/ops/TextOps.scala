@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators a training-data pipeline needs over the
+  * `documents` table: token counting, quality scoring, language-ID
+  * heuristic, document fingerprinting. All are built from codegen'd
+  * built-in functions (no UDFs) so they stay inside whole-stage
+  * codegen and scale linearly with a parquet scan.
+  */
+object TextOps {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Non-overlapping occurrence count of `marker` — (len - len(removed))
+    * / len(marker); plain (non-regex) replace, exact integer math, so
+    * Spark and the DuckDB oracle agree bit-for-bit. */
+  private def occurrences(text: Column, marker: String): Column =
+    ((length(text) - length(expr(s"replace(text, '$marker', '')"))) /
+      marker.length).cast("bigint")
+
+  /** Whitespace token count (trim first so boundary spaces don't add
+    * empty tokens). */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir).select(
+      $"doc_id",
+      size(split(trim($"text"), "\\s+")).cast("bigint").as("n_tokens"))
+  }
+
+  /** Quality scoring: integer component counts + a categorical label,
+    * deterministic and oracle-checkable. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir)
+    val nTokens = size(split(trim($"text"), "\\s+")).cast("bigint")
+    val nStop = (occurrences($"text", " the ") + occurrences($"text", " and ") +
+      occurrences($"text", " a ")).cast("bigint")
+    d.select(
+      $"doc_id",
+      length($"text").cast("bigint").as("n_chars_m"),
+      nTokens.as("n_tokens"),
+      nStop.as("n_stop"),
+      when(nTokens >= 20 && nStop > 0, "good").otherwise("low").as("quality"))
+  }
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and "),
+    "de" -> Seq(" der ", " und "),
+    "fr" -> Seq(" le ", " et "),
+    "es" -> Seq(" el ", " y "))
+
+  /** Language-ID heuristic: stopword-marker hit counts per language,
+    * argmax with fixed priority order, 'und' (undetermined) when all
+    * scores are zero. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir)
+    val scores = langMarkers.map { case (lang, markers) =>
+      lang -> markers.map(m => occurrences($"text", m)).reduce(_ + _)
+    }
+    val best = scores.tail.foldLeft((scores.head._2, lit(scores.head._1))) {
+      case ((bestScore, bestLang), (lang, score)) =>
+        (when(score > bestScore, score).otherwise(bestScore),
+          when(score > bestScore, lit(lang)).otherwise(bestLang))
+    }
+    d.select(
+      $"doc_id",
+      when(best._1 > 0, best._2).otherwise(lit("und")).as("pred_lang"))
+  }
+
+  /** Document fingerprint: md5 of the normalized text (md5 is identical
+    * across Spark and DuckDB, so the oracle checks it exactly). */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir).select($"doc_id", md5(lower(trim($"text"))).as("fp"))
+  }
+
+  private def occSql(marker: String): String =
+    s"CAST((length(text) - length(replace(text, '$marker', ''))) / ${marker.length} AS BIGINT)"
+
+  val oracle: Map[String, String] = Map(
+    "q_token_count" ->
+      """SELECT doc_id, CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |FROM documents""".stripMargin,
+    "q_quality" -> {
+      val nTok = """CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)"""
+      val nStop = s"(${occSql(" the ")} + ${occSql(" and ")} + ${occSql(" a ")})"
+      s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m, $nTok AS n_tokens,
+         |$nStop AS n_stop,
+         |CASE WHEN $nTok >= 20 AND $nStop > 0 THEN 'good' ELSE 'low' END AS quality
+         |FROM documents""".stripMargin
+    },
+    "q_lang_id" -> {
+      val sEn = s"(${occSql(" the ")} + ${occSql(" and ")})"
+      val sDe = s"(${occSql(" der ")} + ${occSql(" und ")})"
+      val sFr = s"(${occSql(" le ")} + ${occSql(" et ")})"
+      val sEs = s"(${occSql(" el ")} + ${occSql(" y ")})"
+      s"""SELECT doc_id, CASE
+         |  WHEN $sEn = 0 AND $sDe = 0 AND $sFr = 0 AND $sEs = 0 THEN 'und'
+         |  WHEN $sEn >= $sDe AND $sEn >= $sFr AND $sEn >= $sEs THEN 'en'
+         |  WHEN $sDe >= $sFr AND $sDe >= $sEs THEN 'de'
+         |  WHEN $sFr >= $sEs THEN 'fr'
+         |  ELSE 'es' END AS pred_lang
+         |FROM documents""".stripMargin
+    },
+    "q_fingerprint" ->
+      "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents"
+  )
+}

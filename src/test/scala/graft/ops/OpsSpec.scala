@@ -1,0 +1,161 @@
+package graft.ops
+
+import graft.SparkTestBase
+import graft.core.Imaging
+
+/** Exact verification for the operators whose driver-side check is
+  * rows-only (hash-based / approximate): MinHash-LSH, SimHash, SRP-LSH
+  * ANN, multimodal features. Controlled corpora with known near-dups
+  * are written to temp parquet and the ops run over them. */
+class OpsSpec extends SparkTestBase {
+
+  /** A doc corpus with planted near-duplicates: pairs (2k, 2k+1) share
+    * all but one word; singles are distinct. */
+  private lazy val docsDir: String = {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmpDir("docs")
+    // vocab of 500; word choice hashed per (seed, position) so different
+    // seeds give nearly-disjoint shingle sets
+    def text(seed: Int, n: Int): String =
+      (0 until n).map(i =>
+        "w" + math.floorMod(graft.core.XxHash64.mix(seed.toLong, i.toLong), 500L)).mkString(" ")
+    val rows = (0 until 40).map { k =>
+      val base = text(k / 2, 30)
+      val t = if (k % 2 == 0) base else base + " extraword"
+      (k.toLong, t, "en", s"src${k % 4}", t.length.toLong)
+    } ++ (40 until 60).map { k =>
+      val t = text(k + 100, 25)
+      (k.toLong, t, "en", s"src${k % 4}", t.length.toLong)
+    }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  /** Embeddings with planted clusters: 10 clusters x 8 near-identical
+    * members + 20 random singles. */
+  private lazy val embDir: String = {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmpDir("emb")
+    def vec(seed: Long): Array[Float] =
+      Array.tabulate(64)(d => (((graft.core.XxHash64.mix(seed, d.toLong) % 1000L) / 500.0) - 1.0).toFloat)
+    def jitter(v: Array[Float], seed: Long): Array[Float] =
+      v.zipWithIndex.map { case (x, d) =>
+        x + (((graft.core.XxHash64.mix(seed * 7919L, d.toLong) % 100L) / 5000.0)).toFloat }
+    val rows = (0 until 10).flatMap { c =>
+      val center = vec(c.toLong)
+      (0 until 8).map(m => ((c * 8 + m).toLong, jitter(center, (c * 8 + m).toLong).toSeq, c))
+    } ++ (80 until 100).map(k => (k.toLong, vec(k * 131L).toSeq, -1))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  // -------------------------------------------------------------- dedup
+
+  test("minhash LSH finds the planted near-dup pairs with exact inter/uni") {
+    val res = Dedup.minhashNearDup(spark, docsDir, minJaccardPct = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // planted pairs (2k, 2k+1) share a long prefix => jaccard >= 0.5
+    val expected = (0 until 40 by 2).map(k => (k.toLong, (k + 1).toLong)).toSet
+    assert(expected.subsetOf(res), s"missing: ${expected -- res}")
+    // soundness vs an in-test exact jaccard over word-3-gram sets
+    // (NO source blocking, matching minhashNearDup's scope)
+    val texts = spark.read.parquet(s"$docsDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").sliding(3).map(_.mkString(" ")).toSet)
+      .toMap
+    res.foreach { case (a, b) =>
+      val (sa, sb) = (texts(a), texts(b))
+      val inter = (sa & sb).size; val uni = (sa | sb).size
+      assert(inter * 100 >= uni * 50, s"unsound pair ($a,$b): $inter/$uni")
+    }
+  }
+
+  test("simhash chunk-banding catches ALL pairs within hamming 3 (brute check)") {
+    val sigs = Dedup.simhashDf(spark, docsDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (a, ha) <- sigs; (b, hb) <- sigs if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    val res = Dedup.simhashNearDup(spark, docsDir, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(res == brute, s"banding diff: missing=${brute -- res} extra=${res -- brute}")
+    assert(brute.nonEmpty, "test corpus should contain simhash near-dups")
+  }
+
+  test("exact dedup counts identical normalized texts") {
+    val spark0 = spark
+    import spark0.implicits._
+    val copies = Dedup.exactDedup(spark, docsDir).agg(org.apache.spark.sql.functions.sum($"copies")).as[Long].head()
+    assert(copies == 60) // every doc accounted for exactly once
+  }
+
+  // --------------------------------------------------------- similarity
+
+  test("SRP-LSH ANN has high recall on clustered embeddings") {
+    val brute = Similarity.bruteTopK(spark, embDir, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(spark, embDir, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // restrict recall to cluster members (0..79): their true neighbors
+    // are near-identical vectors, which SRP buckets must group
+    val bruteC = brute.filter { case (a, b) => a < 80 && b < 80 }
+    val lshC = lsh.filter { case (a, b) => a < 80 && b < 80 }
+    val recall = (bruteC & lshC).size.toDouble / bruteC.size
+    assert(recall >= 0.8, s"recall=$recall (${(bruteC & lshC).size}/${bruteC.size})")
+  }
+
+  test("cosine near-dup finds exactly the planted clusters at 0.9") {
+    val res = Similarity.cosineNearDup(spark, embDir, minCosPct = 90)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // all intra-cluster pairs (8 choose 2) * 10 clusters
+    val expected = (0 until 10).flatMap { c =>
+      for (i <- 0 until 8; j <- i + 1 until 8) yield ((c * 8 + i).toLong, (c * 8 + j).toLong)
+    }.toSet
+    assert(res == expected,
+      s"missing=${(expected -- res).take(5)} extra=${(res -- expected).take(5)}")
+  }
+
+  // --------------------------------------------------------- multimodal
+
+  test("image features: real decode round-trips dims, phash, luminance") {
+    val imgs = Multimodal.syntheticImages(spark, 32).cache()
+    val feats = Multimodal.imageFeatures(imgs).collect()
+    assert(feats.length == 32)
+    val declared = imgs.select("image_id", "w", "h", "fmt", "phash")
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getInt(2), r.getString(3), r.getLong(4))).toMap
+    feats.foreach { r =>
+      val id = r.getString(0)
+      val (w, h, fmt, phash) = declared(id)
+      assert(r.getInt(1) == w && r.getInt(2) == h)
+      val decodedPhash = r.getLong(5)
+      if (fmt == "png") assert(decodedPhash == phash, s"$id png phash")
+      else assert(Imaging.hamming(decodedPhash, phash) <= 4, s"$id jpeg phash drift")
+      val lum = r.getDouble(4)
+      assert(lum > 20 && lum < 235, s"$id mean_lum=$lum")
+    }
+  }
+
+  test("video frame sampling stub: deterministic count and signatures") {
+    val spark0 = spark
+    import spark0.implicits._
+    val vids = Seq(("v1", Array.tabulate[Byte](2048)(_.toByte)),
+      ("v2", Array.tabulate[Byte](300)(i => (i * 3).toByte)))
+      .toDF("video_id", "bytes")
+    val frames = Multimodal.sampleFrames(vids, frameBytes = 256, stride = 4).collect()
+    assert(frames.count(_.getString(0) == "v1") == 2) // 8 frames, stride 4 -> 0,4
+    assert(frames.count(_.getString(0) == "v2") == 1) // 1 frame -> 0
+    val again = Multimodal.sampleFrames(vids, frameBytes = 256, stride = 4).collect()
+    assert(frames.map(_.getLong(2)).sorted.sameElements(again.map(_.getLong(2)).sorted))
+  }
+
+  test("phash near-dup emits only pairs within hamming bound") {
+    val imgs = Multimodal.syntheticImages(spark, 48)
+    val res = Multimodal.phashNearDup(imgs, maxHamming = 6).collect()
+    res.foreach(r => assert(r.getInt(2) <= 6 || r.getLong(2) <= 6))
+  }
+}
