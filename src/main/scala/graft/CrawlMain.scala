@@ -60,8 +60,8 @@ object CrawlMain {
     val t0 = System.nanoTime()
     val summary = new Crawler(spark, cfg).run()
     val secs = (System.nanoTime() - t0) / 1e9
-    val admitted = new graft.lake.RunLog(lakeRoot).completeWaves
-      .map(w => new graft.lake.RunLog(lakeRoot).stats(w).getOrElse("admitted", 0L)).sum
+    val runLog = new graft.lake.RunLog(lakeRoot)
+    val admitted = runLog.completeWaves.map(w => runLog.stats(w).getOrElse("admitted", 0L)).sum
     println(f"crawl done: waves=${summary.waves} seen=${summary.seenRows} " +
       f"images=${summary.imageRows} admitted=$admitted elapsed=$secs%.1fs " +
       f"throughput=${admitted / math.max(secs, 1e-9)}%.0f urls/s")

@@ -11,6 +11,20 @@ import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
   */
 object Imaging {
 
+  // ImageIO defaults to FILE-cached streams: every encode/decode spills
+  // through a temp file, which serializes on the filesystem under many
+  // executor threads. Memory-cached streams are mandatory for throughput.
+  ImageIO.setUseCache(false)
+
+  /** splitmix64 finalizer (public-domain algorithm) — cheap per-pixel
+    * noise without the byte-array allocation a full xxhash64 needs. */
+  @inline def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
   /** Deterministic pixel pattern seeded by the image id hash: a
     * luminance gradient + luma-only hash noise, with a per-image
     * CONSTANT chroma tint. Keeping chroma flat keeps JPEG's 4:2:0
@@ -22,22 +36,24 @@ object Imaging {
     val tintG = (Math.floorMod(seed >>> 21, 49L) - 24L).toInt
     val tintB = (Math.floorMod(seed >>> 42, 49L) - 24L).toInt
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](w * h)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        val noise = (XxHash64.mix(seed, (y.toLong << 32) | x.toLong) & 0x07).toInt
+        val noise = (mix64(seed ^ ((y.toLong << 32) | (x.toLong & 0xffffffffL))) & 0x07).toInt
         // luminance in [40, 208]: gradient along x+y, stays clear of
         // clamping so the chroma tint survives intact
         val lum = 40 + ((x + y) * 160) / math.max(1, w + h - 2) + noise
         val r = math.min(255, math.max(0, lum + tintR))
         val g = math.min(255, math.max(0, lum + tintG))
         val b = math.min(255, math.max(0, lum + tintB))
-        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        px(y * w + x) = (r << 16) | (g << 8) | b
         x += 1
       }
       y += 1
     }
+    img.setRGB(0, 0, w, h, px, 0, w)
     img
   }
 
@@ -69,12 +85,15 @@ object Imaging {
   /** PSNR in dB between two same-size RGB images (per-channel MSE). */
   def psnr(a: BufferedImage, b: BufferedImage): Double = {
     require(a.getWidth == b.getWidth && a.getHeight == b.getHeight, "size mismatch")
+    val w = a.getWidth
+    val pxa = a.getRGB(0, 0, w, a.getHeight, null, 0, w)
+    val pxb = b.getRGB(0, 0, w, b.getHeight, null, 0, w)
     var se = 0.0
     var y = 0
     while (y < a.getHeight) {
       var x = 0
       while (x < a.getWidth) {
-        val pa = a.getRGB(x, y); val pb = b.getRGB(x, y)
+        val pa = pxa(y * w + x); val pb = pxb(y * w + x)
         val dr = ((pa >> 16) & 0xff) - ((pb >> 16) & 0xff)
         val dg = ((pa >> 8) & 0xff) - ((pb >> 8) & 0xff)
         val db = (pa & 0xff) - (pb & 0xff)
@@ -107,13 +126,14 @@ object Imaging {
     val cells = new Array[Long](64)
     val counts = new Array[Long](64)
     val w = img.getWidth; val h = img.getHeight
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
     var y = 0
     while (y < h) {
       val cy = math.min(7, y * 8 / h)
       var x = 0
       while (x < w) {
         val cx = math.min(7, x * 8 / w)
-        val p = img.getRGB(x, y)
+        val p = px(y * w + x)
         val gray = (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 + (p & 0xff) * 114) / 1000
         cells(cy * 8 + cx) += gray
         counts(cy * 8 + cx) += 1

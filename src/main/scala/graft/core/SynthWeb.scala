@@ -28,6 +28,8 @@ object SynthWeb {
       malformedFrac: Double = 0.04,
       fancyFrac: Double = 0.20,    // uppercase / :80 / #fragment variants
       jpegFrac: Double = 0.5,
+      imgMinDim: Int = 16,         // synthetic image edge bounds (px)
+      imgMaxDim: Int = 64,
       seed: Long = 42L
   )
 
@@ -62,7 +64,7 @@ object SynthWeb {
                 PageBody(pageHtml(i, js.toInt, cfg))
               case ImagePath(ks, ext) if ks.toInt < cfg.imagesPerHost =>
                 val id = imageUrl(i, ks.toInt, ext == "jpg")
-                val (w, h) = imageDims(id)
+                val (w, h) = imageDims(id, cfg.imgMinDim, cfg.imgMaxDim)
                 val img = Imaging.synthPixels(id, w, h)
                 val bytes = if (ext == "jpg") Imaging.encodeJpeg(img) else Imaging.encodePng(img)
                 ImageBody(bytes, w, h, if (ext == "jpg") "jpeg" else "png")
@@ -74,9 +76,10 @@ object SynthWeb {
     }
   }
 
-  def imageDims(imageId: String): (Int, Int) = {
+  def imageDims(imageId: String, minDim: Int = 16, maxDim: Int = 64): (Int, Int) = {
     val h = XxHash64.hash(imageId)
-    (16 + (Math.floorMod(h, 49L)).toInt, 16 + (Math.floorMod(h >>> 17, 49L)).toInt)
+    val span = (maxDim - minDim + 1).toLong
+    (minDim + Math.floorMod(h, span).toInt, minDim + Math.floorMod(h >>> 17, span).toInt)
   }
 
   private val captionWords = Vector(

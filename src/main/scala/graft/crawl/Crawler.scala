@@ -105,7 +105,16 @@ class Crawler(spark: SparkSession, cfg: CrawlConfig) extends Serializable {
   /** Runs wave k: consumes frontier_k, commits frontier_{k+1} and the
     * wave's appends to seen/budget/images/metrics. Returns the size of
     * the next frontier. */
+  private val verbose = sys.env.contains("GRAFT_WAVE_TIMING")
+  private def timed[T](wave: Int, name: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    if (verbose) println(f"[wave $wave] $name%-18s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
+    r
+  }
+
   def runWave(wave: Int, bloomState: BloomState): Long = {
+    val waveT0 = System.nanoTime()
     val sc = spark.sparkContext
     val webCfg = cfg.web
     val depthLimit = cfg.depthLimit
@@ -136,137 +145,176 @@ class Crawler(spark: SparkSession, cfg: CrawlConfig) extends Serializable {
       .select($"kind", $"url", $"depth", $"host")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val admittedCount = admitted.count() // materializes the cache
+    val admittedCount = timed(wave, "admit+count")(admitted.count()) // materializes the cache
 
     // --- A2: merge admitted counts into the budget table (full rewrite;
     // the table is <= #hosts rows).
     val newBudget = budget.unionByName(
         admitted.groupBy($"host").agg(count(lit(1)).as("visits")))
       .groupBy($"host").agg(sum($"visits").as("visits"))
-    budgetT.commit(wave + 1, newBudget.coalesce(1))
+    timed(wave, "budget_commit")(budgetT.commit(wave + 1, newBudget.coalesce(1)))
 
-    // --- S3+M1..M5: fetch + tokenize + resolve, salted by host-hash.
-    val pages = admitted.filter($"kind" === Finding.Page)
-      .repartition(cfg.fetchPartitions, saltedKey)
-      .as[FrontierRow]
-    val parsed: Dataset[PageResult] = pages.mapPartitions { it =>
-      it.map { r =>
-        SynthWeb.fetch(r.url, webCfg) match {
-          case SynthWeb.PageBody(html) =>
-            PageResult(r.url, r.host, r.depth, ok = true,
-              RefSim.processPage(r.url, html, r.depth).toSeq)
-          case _ => PageResult(r.url, r.host, r.depth, ok = false, Seq.empty)
+    // target ~512k rows per committed file; admitted is cached, so the
+    // pages and images chains below run CONCURRENTLY (independent jobs
+    // on the shared scheduler), halving the wave's fixed-cost path.
+    def nFiles(rows: Long): Int = math.max(1, math.min(32, (rows / 512000L + 1L).toInt))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+
+    // ====================== pages chain ======================
+    val pagesChain = Future {
+      // --- S3+M1..M5: fetch + tokenize + resolve, salted by host-hash.
+      val pages = admitted.filter($"kind" === Finding.Page)
+        .repartition(cfg.fetchPartitions, saltedKey)
+        .as[FrontierRow]
+      val parsed: Dataset[PageResult] = pages.mapPartitions { it =>
+        it.map { r =>
+          SynthWeb.fetch(r.url, webCfg) match {
+            case SynthWeb.PageBody(html) =>
+              PageResult(r.url, r.host, r.depth, ok = true,
+                RefSim.processPage(r.url, html, r.depth).toSeq)
+            case _ => PageResult(r.url, r.host, r.depth, ok = false, Seq.empty)
+          }
         }
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+
+      // --- U1: children across all pages; M4 per-page dedup already done
+      // in processPage's Set. gate_depth = depth of the first parent in
+      // canonical response order (only matters when depths differ, which
+      // the reference's no-increment quirk makes impossible in practice).
+      val children = parsed.flatMap { p =>
+        p.children.map(c => (c.kind, c.url, c.depth, p.pdepth, p.phost, p.purl))
+      }.toDF("kind", "url", "depth", "pdepth", "phost", "purl")
+      val cands = children
+        .groupBy($"kind", $"url", $"depth")
+        .agg(
+          min_by($"pdepth", struct($"phost", $"purl")).as("gate_depth"),
+          count(lit(1)).as("refs"))
+        .withColumn("url_hash", xxhash64($"kind", $"url", $"depth"))
+        .persist(StorageLevel.MEMORY_AND_DISK) // both bloom branches read it
+
+      // --- J1 (+A4): novelty = candidates minus seen. The per-wave Bloom
+      // pre-filter routes definitely-new rows around the anti-join; only
+      // maybe-seen rows probe the exact seen table.
+      // readThrough(wave), NOT readAll(): after a mid-wave crash the lake
+      // may hold a torn wave+1 snapshot; scoping the read to the waves the
+      // run log marked complete keeps the re-run byte-identical.
+      val seen = seenT.readThrough(wave).select($"kind", $"url", $"depth")
+      val novel0 = bloomState.filters match {
+        case fs if cfg.bloom && fs.nonEmpty =>
+          val bfB = sc.broadcast(fs)
+          val maybeSeen = udf((h: Long) => bfB.value.exists(_.mightContainLong(h)))
+          val definitelyNew = cands.filter(!maybeSeen($"url_hash"))
+          val checked = cands.filter(maybeSeen($"url_hash"))
+            .join(seen, Seq("kind", "url", "depth"), "left_anti")
+          definitelyNew.unionByName(checked)
+        case _ =>
+          cands.join(seen, Seq("kind", "url", "depth"), "left_anti")
       }
-    }.persist(StorageLevel.MEMORY_AND_DISK)
+      val novel = novel0.persist(StorageLevel.MEMORY_AND_DISK)
+      val novelCount = timed(wave, "fetch+novel")(novel.count())
 
-    // --- U1: children across all pages; M4 per-page dedup already done
-    // in processPage's Set. gate_depth = depth of the first parent in
-    // canonical response order (only matters when depths differ, which
-    // the reference's no-increment quirk makes impossible in practice).
-    val children = parsed.flatMap { p =>
-      p.children.map(c => (c.kind, c.url, c.depth, p.pdepth, p.phost, p.purl))
-    }.toDF("kind", "url", "depth", "pdepth", "phost", "purl")
-    val cands = children
-      .groupBy($"kind", $"url", $"depth")
-      .agg(
-        min_by($"pdepth", struct($"phost", $"purl")).as("gate_depth"),
-        count(lit(1)).as("refs"))
-      .withColumn("url_hash", xxhash64($"kind", $"url", $"depth"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      // --- commit seen += novel (ALL novel rows are archived, even those
+      // the depth gate keeps out of the queue — src/main.rs:130-134).
+      // Written coalesced from cache (no shuffle): hash-bucketing the
+      // seen table only pays off with bucketed-table metadata on a real
+      // catalog, which plain parquet cannot express (see README).
+      timed(wave, "seen_commit")(seenT.commit(wave + 1, novel
+        .select($"kind", $"url", $"depth", $"url_hash", lit(wave + 1).as("wave_added"))
+        .coalesce(nFiles(novelCount))))
+      // per-wave Bloom sized to the wave (tiny partials), kept as a list —
+      // Spark blooms only merge at equal sizes, a list keeps sizes adaptive
+      if (cfg.bloom && novelCount > 0)
+        timed(wave, "bloom_merge")(bloomState.add(novel, novelCount))
 
-    // --- J1 (+A4): novelty = candidates minus seen. The partitioned
-    // Bloom pre-filter routes definitely-new rows around the anti-join;
-    // only maybe-seen rows probe the exact seen table, so the join's
-    // probe side shrinks to ~|actually seen| + FP.
-    // readThrough(wave), NOT readAll(): after a mid-wave crash the lake
-    // may hold a torn wave+1 snapshot; scoping the read to the waves the
-    // run log marked complete keeps the re-run byte-identical
-    val seen = seenT.readThrough(wave).select($"kind", $"url", $"depth")
-    val novel0 = bloomState.filter match {
-      case Some(bf) if cfg.bloom =>
-        val bfB = sc.broadcast(bf)
-        val maybeSeen = udf((h: Long) => bfB.value.mightContainLong(h))
-        val definitelyNew = cands.filter(!maybeSeen($"url_hash"))
-        val checked = cands.filter(maybeSeen($"url_hash"))
-          .join(seen, Seq("kind", "url", "depth"), "left_anti")
-        definitelyNew.unionByName(checked)
-      case _ =>
-        cands.join(seen, Seq("kind", "url", "depth"), "left_anti")
+      // --- D2 depth gate -> frontier_{k+1}
+      val nextFrontier = novel
+        .filter($"gate_depth" < depthLimit)
+        .select($"kind", $"url", $"depth", hostCol($"url").as("host"))
+      timed(wave, "frontier_commit")(
+        frontierT.commit(wave + 1, nextFrontier.coalesce(nFiles(novelCount))))
+      cands.unpersist(false)
+      (parsed, novel)
     }
-    val novel = novel0.persist(StorageLevel.MEMORY_AND_DISK)
 
-    // --- commit seen += novel (ALL novel rows are archived, even those
-    // the depth gate keeps out of the queue — src/main.rs:130-134).
-    val seenSnap = seenT.commit(wave + 1, novel
-      .select($"kind", $"url", $"depth", $"url_hash", lit(wave + 1).as("wave_added"))
-      .repartition(col("url_hash")))
-    // spark's bloomFilter() NPEs on an empty input; footer count is free
-    if (cfg.bloom && seenSnap.totalRows > 0) bloomState.merge(novel, spark)
-
-    // --- D2 depth gate -> frontier_{k+1}
-    val nextFrontier = novel
-      .filter($"gate_depth" < depthLimit)
-      .select($"kind", $"url", $"depth", hostCol($"url").as("host"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    frontierT.commit(wave + 1, nextFrontier)
-
-    // --- S4+S5: image fetch into the images table (input_hint schema).
-    val images = admitted.filter($"kind" === Finding.Image)
-      .repartition(cfg.fetchPartitions, saltedKey)
-      .as[FrontierRow]
-    val fetchedImages = images.mapPartitions { it =>
-      it.map { r =>
-        SynthWeb.fetch(r.url, webCfg) match {
-          case SynthWeb.ImageBody(bytes, iw, ih, fmt) =>
-            val decoded = Imaging.decode(bytes)
-            val base = r.url.substring(r.url.lastIndexOf('/') + 1)
-            ImageResult(r.url, ok = true, bytes, iw, ih, fmt,
-              SynthWeb.caption(r.url), Imaging.aHash(decoded), base)
-          case _ =>
-            ImageResult(r.url, ok = false, Array.emptyByteArray, 0, 0, "", "", 0L, "")
+    // ====================== images chain ======================
+    val imagesChain = Future {
+      // --- S4+S5: image fetch into the images table (input_hint schema).
+      val images = admitted.filter($"kind" === Finding.Image)
+        .repartition(cfg.fetchPartitions, saltedKey)
+        .as[FrontierRow]
+      val fetchedImages = images.mapPartitions { it =>
+        it.map { r =>
+          SynthWeb.fetch(r.url, webCfg) match {
+            case SynthWeb.ImageBody(bytes, iw, ih, fmt) =>
+              val decoded = Imaging.decode(bytes)
+              val base = r.url.substring(r.url.lastIndexOf('/') + 1)
+              ImageResult(r.url, ok = true, bytes, iw, ih, fmt,
+                SynthWeb.caption(r.url), Imaging.aHash(decoded), base)
+            case _ =>
+              ImageResult(r.url, ok = false, Array.emptyByteArray, 0, 0, "", "", 0L, "")
+          }
         }
-      }
-    }.persist(StorageLevel.MEMORY_AND_DISK)
-    imagesT.commit(wave + 1, fetchedImages.filter($"ok")
-      .select($"image_id", $"bytes", $"w", $"h", $"fmt", $"caption", $"phash", $"basename"))
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+      timed(wave, "images_commit")(imagesT.commit(wave + 1, fetchedImages.filter($"ok")
+        .select($"image_id", $"bytes", $"w", $"h", $"fmt", $"caption", $"phash", $"basename")))
+      fetchedImages
+    }
+
+    val (parsed, novel) = Await.result(pagesChain, Duration.Inf)
+    val fetchedImages = Await.result(imagesChain, Duration.Inf)
+    val nextCount = frontierT.snapshot(wave + 1).get.totalRows
+    val seenRows = seenT.snapshot(wave + 1).get.totalRows
+    val imageRows = imagesT.snapshot(wave + 1).get.totalRows
 
     // --- per-wave, per-host-bucket metrics (lineage beyond the
-    // manifests' per-file row counts).
-    val bucket = pmod(xxhash64(col("host")), lit(32)).cast("int").as("host_bucket")
-    def perBucket(df: DataFrame, name: String): DataFrame =
-      df.groupBy(bucket).agg(count(lit(1)).as(name))
-    val candB = perBucket(frontier, "candidates")
-    val admB = perBucket(admitted, "admitted")
-    val fetchB = parsed.toDF().groupBy(pmod(xxhash64(col("phost")), lit(32)).cast("int").as("host_bucket"))
-      .agg(sum(when($"ok", 1L).otherwise(0L)).as("fetch_ok"),
-           sum(when($"ok", 0L).otherwise(1L)).as("fetch_err"))
-    val novelB = novel.groupBy(pmod(xxhash64(hostCol($"url")), lit(32)).cast("int").as("host_bucket"))
-      .agg(count(lit(1)).as("novel"), sum($"refs" - 1).as("dup_dropped"))
-    val imgB = fetchedImages.filter($"ok")
-      .groupBy(pmod(xxhash64(hostCol($"image_id")), lit(32)).cast("int").as("host_bucket"))
-      .agg(count(lit(1)).as("images_written"))
-    val metrics = candB
-      .join(admB, Seq("host_bucket"), "full")
-      .join(fetchB, Seq("host_bucket"), "full")
-      .join(novelB, Seq("host_bucket"), "full")
-      .join(imgB, Seq("host_bucket"), "full")
-      .na.fill(0L)
+    // manifests' per-file row counts): ONE job — raw (bucket, metric,
+    // value) rows unioned from the cached stages, aggregated with
+    // map-side combine into the pivoted metrics row per bucket.
+    // Committed ASYNCHRONOUSLY (chained, so run-log marks stay ordered):
+    // metrics are outputs, never inputs of a wave, so the next wave's
+    // compute overlaps this commit; run()/awaitQuiesce joins the tail.
+    def b(c: org.apache.spark.sql.Column) = pmod(xxhash64(c), lit(32)).cast("int")
+    val raw = frontier.select(b($"host").as("hb"), lit("candidates").as("m"), lit(1L).as("v"))
+      .unionByName(admitted.select(b($"host").as("hb"), lit("admitted").as("m"), lit(1L).as("v")))
+      .unionByName(parsed.toDF().select(b($"phost").as("hb"),
+        when($"ok", "fetch_ok").otherwise("fetch_err").as("m"), lit(1L).as("v")))
+      .unionByName(novel.select(b(hostCol($"url")).as("hb"), lit("novel").as("m"), lit(1L).as("v")))
+      .unionByName(novel.select(b(hostCol($"url")).as("hb"), lit("dup_dropped").as("m"),
+        ($"refs" - 1).cast("long").as("v")))
+      .unionByName(fetchedImages.filter($"ok").select(b(hostCol($"image_id")).as("hb"),
+        lit("images_written").as("m"), lit(1L).as("v")))
+    def m(name: String) = sum(when($"m" === name, $"v").otherwise(0L)).as(name)
+    val metrics = raw.groupBy($"hb".as("host_bucket"))
+      .agg(m("candidates"), m("admitted"), m("fetch_ok"), m("fetch_err"),
+        m("novel"), m("dup_dropped"), m("images_written"))
       .withColumn("budget_dropped", $"candidates" - $"admitted")
       .withColumn("wave", lit(wave))
-    metricsT.commit(wave + 1, metrics.coalesce(1))
-
-    val nextCount = frontierT.snapshot(wave + 1).get.totalRows
-    runLog.markComplete(wave + 1, Map(
-      "frontier" -> nextCount,
-      "admitted" -> admittedCount,
-      "novel" -> seenT.snapshot(wave + 1).get.totalRows,
-      "images" -> imagesT.snapshot(wave + 1).get.totalRows))
-
-    admitted.unpersist(false); parsed.unpersist(false); cands.unpersist(false)
-    novel.unpersist(false); nextFrontier.unpersist(false); fetchedImages.unpersist(false)
+    val waveWallMs = (System.nanoTime() - waveT0) / 1000000L
+    val prevTail = pendingTail
+    pendingTail = prevTail.map { _ =>
+      timed(wave, "metrics_commit")(metricsT.commit(wave + 1, metrics.coalesce(1)))
+      runLog.markComplete(wave + 1, Map(
+        "frontier" -> nextCount,
+        "admitted" -> admittedCount,
+        "novel" -> seenRows,
+        "images" -> imageRows,
+        "wall_ms" -> waveWallMs))
+      admitted.unpersist(false); parsed.unpersist(false)
+      novel.unpersist(false); fetchedImages.unpersist(false)
+    }
     nextCount
   }
+
+  // async tail of metrics commits + run-log marks, chained to stay ordered
+  @transient private var pendingTail: scala.concurrent.Future[Unit] =
+    scala.concurrent.Future.unit
+
+  /** Join the async metrics/run-log tail (call before reading final
+    * state or abandoning the Crawler). */
+  def awaitQuiesce(): Unit =
+    scala.concurrent.Await.result(pendingTail, scala.concurrent.duration.Duration.Inf)
 
 
   /** Engine extension D4: consult/populate the robots cache table and
@@ -301,8 +349,9 @@ class Crawler(spark: SparkSession, cfg: CrawlConfig) extends Serializable {
       case Some(k) =>
         // resume: rebuild the bloom from the COMPLETE waves only (a torn
         // wave k+1 snapshot must not leak into wave k's re-run)
-        if (cfg.bloom && seenT.rowCountThrough(k) > 0)
-          bloomState.rebuildFrom(seenT.readThrough(k), spark)
+        val seenRows = seenT.rowCountThrough(k)
+        if (cfg.bloom && seenRows > 0)
+          bloomState.rebuildFrom(seenT.readThrough(k), seenRows)
         k
     }
     var wave = startWave
@@ -311,28 +360,27 @@ class Crawler(spark: SparkSession, cfg: CrawlConfig) extends Serializable {
       frontierSize = runWave(wave, bloomState)
       wave += 1
     }
+    awaitQuiesce()
     CrawlSummary(wave, seenT.rowCountThrough(wave), imagesT.rowCountThrough(wave))
   }
 }
 
 final case class CrawlSummary(waves: Int, seenRows: Long, imageRows: Long)
 
-/** Driver-held running Bloom filter over url_hash — mergeable across
-  * waves (built per wave over just the novel rows, unioned in place),
-  * used only as a pre-filter; the exact anti-join stays authoritative
-  * so FPs can never corrupt the URL-seen set (SURVEY.md §2.4 A4). */
+/** Driver-held Bloom pre-filter over url_hash, ONE filter PER WAVE,
+  * each sized to that wave's novel count (Spark blooms only merge at
+  * identical sizes; a list keeps every wave's filter right-sized, so
+  * aggregation partials stay tiny). Used only as a pre-filter; the
+  * exact anti-join stays authoritative so FPs can never corrupt the
+  * URL-seen set (SURVEY.md §2.4 A4). */
 class BloomState(cfg: CrawlConfig) extends Serializable {
-  @transient var filter: Option[BloomFilter] = None
+  @transient var filters: Seq[BloomFilter] = Vector.empty
 
-  def merge(novel: DataFrame, spark: SparkSession): Unit = {
-    val bf = novel.stat.bloomFilter("url_hash", cfg.bloomExpectedItems, cfg.bloomFpp)
-    filter match {
-      case Some(f) => f.mergeInPlace(bf)
-      case None    => filter = Some(bf)
-    }
-  }
+  private def sized(rows: Long): Long = math.max(2 * rows, 4096L)
 
-  def rebuildFrom(seen: DataFrame, spark: SparkSession): Unit = {
-    filter = Some(seen.stat.bloomFilter("url_hash", cfg.bloomExpectedItems, cfg.bloomFpp))
-  }
+  def add(novel: DataFrame, rows: Long): Unit =
+    filters :+= novel.stat.bloomFilter("url_hash", sized(rows), cfg.bloomFpp)
+
+  def rebuildFrom(seen: DataFrame, rows: Long): Unit =
+    filters = Vector(seen.stat.bloomFilter("url_hash", sized(rows), cfg.bloomFpp))
 }

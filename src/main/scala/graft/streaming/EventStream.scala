@@ -1,0 +1,72 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the `events` stream shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The crawl loop itself is deliberately NOT streaming (SURVEY.md §1.2:
+  * the wave feedback edge needs a driver loop), but the engine exposes
+  * streaming transforms for continuous ingest: watermarked tumbling
+  * windows and mapGroupsWithState sessionization. Tested against
+  * MemoryStream in StreamingSpec; the same code runs on a Kafka/file
+  * source in production.
+  */
+object EventStream {
+
+  /** Watermarked tumbling-window counts per event type: late data
+    * beyond 10 minutes is dropped, state is bounded by the watermark. */
+  def windowedCounts(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "5 minutes").as("win"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value").as("total_value"))
+      .select($"win.start".as("win_start"), $"event_type", $"n", $"total_value")
+  }
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionState(nEvents: Long, totalValue: Double, lastTs: Long)
+  final case class SessionOut(user_id: Long, n_events: Long, total_value: Double,
+      closed: Boolean)
+
+  /** Per-user running sessions via mapGroupsWithState. The state
+    * tracks a 30-minute inactivity gap in EVENT time: a new event past
+    * the gap closes the old session and starts a fresh one (emitted
+    * with closed=true). NoTimeout is deliberate — processing-time
+    * timeouts keep a local query permanently busy (the engine schedules
+    * empty batches to service them), which breaks bounded test runs;
+    * event-time gap handling covers the semantics deterministically. */
+  def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = 30L * 60 * 1000
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionOut](GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          var s = state.getOption.getOrElse(SessionState(0L, 0.0, Long.MinValue))
+          var closedPrev = false
+          sorted.foreach { e =>
+            if (s.lastTs != Long.MinValue && e.ts.getTime - s.lastTs > gapMs) {
+              closedPrev = true // previous session ended by the gap
+              s = SessionState(0L, 0.0, Long.MinValue)
+            }
+            s = SessionState(s.nEvents + 1, s.totalValue + e.value,
+              math.max(s.lastTs, e.ts.getTime))
+          }
+          state.update(s)
+          SessionOut(userId, s.nEvents, s.totalValue, closed = closedPrev)
+      }
+  }
+
+  /** Batch-equivalent of windowedCounts, for oracle comparison (the
+    * streaming query over a bounded input must agree with the batch
+    * aggregation over the same rows). */
+  def windowedCountsBatch(events: DataFrame): DataFrame = windowedCounts(events)
+}

@@ -26,6 +26,7 @@ class ResumeSpec extends SparkTestBase {
     val bloom1 = new BloomState(cfg(root))
     c1.runWave(0, bloom1)
     c1.runWave(1, bloom1)
+    c1.awaitQuiesce() // join async metrics so the two writers don't race in-JVM
     // a later, uncommitted wave's partial data would be overwritten on
     // resume; simulate one by dropping junk into the data dir
     val junk = java.nio.file.Paths.get(root, "frontier", "data", "wave=99")
