@@ -152,12 +152,14 @@ class Crawler(spark: SparkSession, cfg: CrawlConfig) extends Serializable {
     val newBudget = budget.unionByName(
         admitted.groupBy($"host").agg(count(lit(1)).as("visits")))
       .groupBy($"host").agg(sum($"visits").as("visits"))
-    timed(wave, "budget_commit")(budgetT.commit(wave + 1, newBudget.coalesce(1)))
+    // repartition(1), NOT coalesce(1): coalesce propagates up and would
+    // run the whole aggregation single-task at any core count
+    timed(wave, "budget_commit")(budgetT.commit(wave + 1, newBudget.repartition(1)))
 
     // target ~512k rows per committed file; admitted is cached, so the
     // pages and images chains below run CONCURRENTLY (independent jobs
     // on the shared scheduler), halving the wave's fixed-cost path.
-    def nFiles(rows: Long): Int = math.max(1, math.min(32, (rows / 512000L + 1L).toInt))
+    def nFiles(rows: Long): Int = math.max(1, math.min(64, (rows / 131072L + 1L).toInt))
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -257,8 +259,11 @@ class Crawler(spark: SparkSession, cfg: CrawlConfig) extends Serializable {
           }
         }
       }.persist(StorageLevel.MEMORY_AND_DISK)
+      // PNG/JPEG payloads are already entropy-coded — snappy on top only
+      // burns CPU, so the images table is written uncompressed
       timed(wave, "images_commit")(imagesT.commit(wave + 1, fetchedImages.filter($"ok")
-        .select($"image_id", $"bytes", $"w", $"h", $"fmt", $"caption", $"phash", $"basename")))
+        .select($"image_id", $"bytes", $"w", $"h", $"fmt", $"caption", $"phash", $"basename"),
+        writeOptions = Map("compression" -> "uncompressed")))
       fetchedImages
     }
 
@@ -294,7 +299,7 @@ class Crawler(spark: SparkSession, cfg: CrawlConfig) extends Serializable {
     val waveWallMs = (System.nanoTime() - waveT0) / 1000000L
     val prevTail = pendingTail
     pendingTail = prevTail.map { _ =>
-      timed(wave, "metrics_commit")(metricsT.commit(wave + 1, metrics.coalesce(1)))
+      timed(wave, "metrics_commit")(metricsT.commit(wave + 1, metrics.repartition(1)))
       runLog.markComplete(wave + 1, Map(
         "frontier" -> nextCount,
         "admitted" -> admittedCount,

@@ -47,9 +47,10 @@ class LakeTable(spark: SparkSession, rootDir: String, val name: String) {
     * JSON lands last via atomic rename, so readers never observe a
     * half-written wave. Per-file row counts come from Parquet footers
     * (metadata-only, no data scan). */
-  def commit(wave: Int, df: DataFrame): SnapshotMeta = {
+  def commit(wave: Int, df: DataFrame,
+             writeOptions: Map[String, String] = Map.empty): SnapshotMeta = {
     val waveDir = dataDir.resolve(s"wave=$wave")
-    df.write.mode("overwrite").parquet(waveDir.toString)
+    df.write.mode("overwrite").options(writeOptions).parquet(waveDir.toString)
     if (!Files.list(waveDir).iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))) {
       // zero-partition input wrote no data file; keep one (empty, with
       // schema) so time travel / readAll never hit a missing wave
