@@ -164,7 +164,10 @@ object Dedup {
       struct(lit(c).as("c"), shiftright($"simhash", c * 16).bitwiseAND(lit(0xffffL)).as("ch")))
     val buckets = sig.select($"doc_id", $"simhash", explode(array(chunkCols: _*)).as("cb"))
       .select($"doc_id", $"simhash", $"cb.c", $"cb.ch")
-    val ham = udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
+    // codegen'd hamming distance: bit_count(a XOR b) stays inside
+    // whole-stage codegen, unlike a Scala UDF
+    def ham(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      call_function("bit_count", a.bitwiseXOR(b))
     buckets.as("a").join(buckets.as("b"),
         col("a.c") === col("b.c") && col("a.ch") === col("b.ch") &&
           col("a.doc_id") < col("b.doc_id"))

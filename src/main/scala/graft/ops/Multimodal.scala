@@ -99,7 +99,10 @@ object Multimodal {
     val buckets = images.select($"image_id", $"phash",
         explode(array(chunkCols: _*)).as("cb"))
       .select($"image_id", $"phash", $"cb.c", $"cb.ch")
-    val ham = udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
+    // codegen'd hamming distance: bit_count(a XOR b) stays inside
+    // whole-stage codegen, unlike a Scala UDF
+    def ham(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      call_function("bit_count", a.bitwiseXOR(b))
     buckets.as("a").join(buckets.as("b"),
         col("a.c") === col("b.c") && col("a.ch") === col("b.ch") &&
           col("a.image_id") < col("b.image_id"))
