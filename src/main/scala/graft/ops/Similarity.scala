@@ -105,6 +105,58 @@ object Similarity {
       .select($"a_id", $"b_id", $"rnk")
   }
 
+  // ------------------------------------------------- IVF scale path
+
+  /** ANN via an IVF-style coarse quantizer: deterministic centroid
+    * sample (lowest xxhash64(vec_id) order — seeded, no RNG), each
+    * vector assigned to its nearest centroid (one map over a broadcast
+    * centroid table), queries probe the nProbe nearest centroids, and
+    * candidates come from an equi-join on the cluster id — at scale the
+    * vectors table is partitioned by cluster so a probe reads only
+    * nProbe/nCentroids of the data. Exact cosine ranks candidates. */
+  def ivfTopK(spark: SparkSession, dir: String, k: Int = 5,
+              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir).select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
+    val centroids: Array[(Int, Array[Double])] = e
+      .select($"vec_id", $"embedding")
+      .orderBy(xxhash64($"vec_id"), $"vec_id")
+      .limit(nCentroids)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) =>
+        val v = r.getSeq[Float](1).map(_.toDouble).toArray
+        val n = math.sqrt(v.map(x => x * x).sum)
+        (i, v.map(_ / math.max(n, 1e-12)))
+      }
+    val cB = spark.sparkContext.broadcast(centroids)
+    def cosines(v: Seq[Float]): Array[(Int, Double)] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      cB.value.map { case (cid, c) =>
+        var d = 0.0; var i = 0
+        while (i < v.length) { d += v(i) * c(i); i += 1 }
+        (cid, d / math.max(n, 1e-12))
+      }
+    }
+    val assignUdf = udf((v: Seq[Float]) => cosines(v).maxBy(_._2)._1)
+    val probesUdf = udf((v: Seq[Float]) =>
+      cosines(v).sortBy(-_._2).take(nProbe).map(_._1))
+    val assigned = e.withColumn("cluster", assignUdf($"embedding"))
+    val queries = e.withColumn("probes", probesUdf($"embedding"))
+      .select($"vec_id".as("a_id"), $"embedding".as("ea"), $"nrm".as("na"),
+        explode($"probes").as("cluster"))
+    val cands = queries.join(
+        assigned.select($"vec_id".as("b_id"), $"embedding".as("eb"),
+          $"nrm".as("nb"), $"cluster"), "cluster")
+      .filter($"a_id" =!= $"b_id")
+      .select($"a_id", $"b_id", (dot($"ea", $"eb") / ($"na" * $"nb")).as("sim"))
+      .groupBy($"a_id", $"b_id").agg(first($"sim").as("sim"))
+    val w = Window.partitionBy($"a_id").orderBy($"sim".desc, $"b_id")
+    cands.withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter($"rnk" <= k)
+      .select($"a_id", $"b_id", $"rnk")
+  }
+
   val oracle: Map[String, String] = Map(
     "q_ann_bruteforce" ->
       """SELECT a_id, b_id, rnk FROM (

@@ -109,6 +109,17 @@ class OpsSpec extends SparkTestBase {
     assert(recall >= 0.8, s"recall=$recall (${(bruteC & lshC).size}/${bruteC.size})")
   }
 
+  test("IVF ANN has high recall on clustered embeddings") {
+    val brute = Similarity.bruteTopK(spark, embDir, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(spark, embDir, k = 5, nCentroids = 12, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bruteC = brute.filter { case (a, b) => a < 80 && b < 80 }
+    val ivfC = ivf.filter { case (a, b) => a < 80 && b < 80 }
+    val recall = (bruteC & ivfC).size.toDouble / bruteC.size
+    assert(recall >= 0.8, s"recall=$recall (${(bruteC & ivfC).size}/${bruteC.size})")
+  }
+
   test("cosine near-dup finds exactly the planted clusters at 0.9") {
     val res = Similarity.cosineNearDup(spark, embDir, minCosPct = 90)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
