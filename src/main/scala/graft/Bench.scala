@@ -110,12 +110,20 @@ object Bench {
       val spark = session(cpus)
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        results(name) = (System.nanoTime() - t0) / 1e9
+        // a broken query must NOT be reported as a fast success: record
+        // -1 so the bench line makes the failure visible
+        try {
+          fn(spark, sfDir).count()
+          results(name) = (System.nanoTime() - t0) / 1e9
+        } catch {
+          case t: Throwable =>
+            System.err.println(s"bench query $name FAILED: ${t.getClass.getSimpleName}: ${t.getMessage}")
+            results(name) = -1.0
+        }
       }
       spark.stop()
     }
-    val queriesTotal = results.values.sum
+    val queriesTotal = results.values.filter(_ >= 0).sum
 
     // ---- part 2: N vs 4N scaling evidence (see object scaladoc).
     // Each crawl run is BRACKETED by spin probes of its core set: the

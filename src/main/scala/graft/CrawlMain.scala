@@ -23,9 +23,19 @@ object CrawlMain {
       sys.exit(2)
     }
     val lakeRoot = args(0)
-    val opts = args.drop(1).sliding(2, 2).collect {
-      case Array(k, v) => k -> v
-    }.toMap ++ args.filter(_ == "--robots").map(_ -> "true").toMap
+    // fold that consumes valueless flags (--robots) as single tokens
+    // and key+value pairs otherwise, so flag position never shifts the
+    // pairing of later options
+    val valuelessFlags = Set("--robots")
+    @scala.annotation.tailrec
+    def parse(rest: List[String], acc: Map[String, String]): Map[String, String] = rest match {
+      case Nil => acc
+      case f :: tail if valuelessFlags(f) => parse(tail, acc + (f -> "true"))
+      case k :: v :: tail if k.startsWith("--") => parse(tail, acc + (k -> v))
+      case bad :: _ =>
+        throw new IllegalArgumentException(s"unparseable option: $bad (missing value?)")
+    }
+    val opts = parse(args.drop(1).toList, Map.empty)
 
     def intOpt(k: String, d: Int) = opts.get(k).map(_.toInt).getOrElse(d)
     def dblOpt(k: String, d: Double) = opts.get(k).map(_.toDouble).getOrElse(d)

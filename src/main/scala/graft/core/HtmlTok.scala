@@ -1,17 +1,24 @@
 package graft.core
 
 /** Tag-level HTML tokenizer mirroring what the reference extracts with
-  * html5ever's tokenizer (no DOM): every StartTag `a` contributes each
-  * `href` attribute value, every StartTag `img` contributes each `src`
-  * attribute value, in document order, duplicates kept
-  * (/root/reference/src/main.rs:227-262). Comments, end tags, doctypes
-  * and RAWTEXT elements (script/style) are skipped like html5ever does.
+  * html5ever 0.26's BARE tokenizer (no DOM, no tree builder —
+  * /root/reference/src/main.rs:166-171,227-262): every StartTag `a`
+  * contributes its `href` attribute, every StartTag `img` its `src`,
+  * in document order; duplicate TAGS are kept, but a duplicate
+  * ATTRIBUTE NAME within one tag is discarded (html5ever's
+  * finish_attribute keeps only the first occurrence).
+  *
+  * Crucially, html5ever's raw-text states (script/style/title/
+  * textarea) are only entered when the TokenSink requests them via
+  * TokenSinkResult::RawData — and the reference's sink always returns
+  * TokenSinkResult::Continue (src/main.rs:260). So the reference
+  * tokenizes `<script>` CONTENT as ordinary markup and extracts tags
+  * embedded in script strings; we reproduce that. Comments and
+  * doctypes are consumed by the tokenizer itself and skipped.
   */
 object HtmlTok {
 
   final case class Links(pageLinks: Vector[String], imageLinks: Vector[String])
-
-  private val rawTextTags = Set("script", "style", "textarea", "title")
 
   def extract(html: String): Links = {
     val page = Vector.newBuilder[String]
@@ -42,7 +49,9 @@ object HtmlTok {
           var j = lt + 1
           while (j < n && (html.charAt(j).isLetterOrDigit || html.charAt(j) == '-')) j += 1
           val name = html.substring(lt + 1, j).toLowerCase
-          // attributes
+          // attributes; html5ever's finish_attribute drops an attribute
+          // whose name was already seen on this tag (first wins)
+          var seenAttrs = Set.empty[String]
           var done = false
           while (!done && j < n) {
             // skip whitespace and '/'
@@ -72,12 +81,14 @@ object HtmlTok {
                   avalue = html.substring(v0, j)
                 }
               }
-              if (aname == "href" && name == "a") page += decodeEntities(avalue)
-              if (aname == "src" && name == "img") img += decodeEntities(avalue)
+              if (!seenAttrs.contains(aname)) {
+                seenAttrs += aname
+                if (aname == "href" && name == "a") page += decodeEntities(avalue)
+                if (aname == "src" && name == "img") img += decodeEntities(avalue)
+              }
             }
           }
           i = j
-          if (rawTextTags.contains(name)) i = skipTo("</" + name, i)
         } else {
           i = lt + 1
         }

@@ -107,6 +107,11 @@ object SynthWeb {
     val self = pageUrl(host, page)
     val base = XxHash64.mix(XxHash64.hash(self), cfg.seed)
     val sb = new StringBuilder(1024)
+    // NOTE: the <script> body's embedded <a> IS extracted by the
+    // reference (bare html5ever tokenizer, raw-text states never
+    // entered — main.rs:260), so every page contributes the extra
+    // finding <origin>/not-a-real-link (admitted, then 404s). The
+    // commented-out link is NOT (comments are tokenizer-level states).
     sb.append("<!DOCTYPE html>\n<html>\n<head><title>page ").append(page)
       .append(" of host ").append(host).append("</title>\n")
       .append("<script>var x = \"<a href='/not-a-real-link'>\";</script>\n")

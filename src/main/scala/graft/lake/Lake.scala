@@ -2,6 +2,7 @@ package graft.lake
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
+import scala.util.Using
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.conf.Configuration
@@ -32,6 +33,33 @@ final case class SnapshotMeta(
     totalRows: Long
 )
 
+object LakeTable {
+  /** Per-data-file row counts from Parquet footers (metadata-only, no
+    * data scan) — the manifest's per-partition lineage. */
+  def footerMetas(dir: Path): Vector[DataFileMeta] = {
+    val conf = new Configuration()
+    Lake.listPaths(dir)
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map { p =>
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new HPath(p.toString), conf))
+        val rows = try reader.getRecordCount finally reader.close()
+        DataFileMeta(p.toString, rows)
+      }.sortBy(_.path)
+  }
+}
+
+object Lake {
+  /** List a directory's file names, CLOSING the stream (a bare
+    * Files.list leaks one fd per call). */
+  private[lake] def listNames(dir: Path): Vector[String] =
+    if (!Files.exists(dir)) Vector.empty
+    else Using.resource(Files.list(dir))(_.iterator().asScala.map(_.getFileName.toString).toVector)
+
+  private[lake] def listPaths(dir: Path): Vector[Path] =
+    if (!Files.exists(dir)) Vector.empty
+    else Using.resource(Files.list(dir))(_.iterator().asScala.toVector)
+}
+
 class LakeTable(spark: SparkSession, rootDir: String, val name: String) {
   private val tableDir: Path = Paths.get(rootDir, name)
   private val dataDir: Path = tableDir.resolve("data")
@@ -51,22 +79,15 @@ class LakeTable(spark: SparkSession, rootDir: String, val name: String) {
              writeOptions: Map[String, String] = Map.empty): SnapshotMeta = {
     val waveDir = dataDir.resolve(s"wave=$wave")
     df.write.mode("overwrite").options(writeOptions).parquet(waveDir.toString)
-    if (!Files.list(waveDir).iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))) {
+    if (!Lake.listNames(waveDir).exists(_.endsWith(".parquet"))) {
       // zero-partition input wrote no data file; keep one (empty, with
       // schema) so time travel / readAll never hit a missing wave
       df.repartition(1).write.mode("overwrite").parquet(waveDir.toString)
     }
-    val conf = new Configuration()
-    val files = Files.list(waveDir).iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".parquet"))
-      .map { p =>
-        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new HPath(p.toString), conf))
-        val rows = try reader.getRecordCount finally reader.close()
-        DataFileMeta(p.toString, rows)
-      }.toVector.sortBy(_.path)
-    val snap = SnapshotMeta(name, wave, files, files.map(_.rows).sum)
-    writeSnapshot(snap)
-    snap
+    val snap = SnapshotMeta(name, wave, LakeTable.footerMetas(waveDir), 0L)
+    val full = snap.copy(totalRows = snap.files.map(_.rows).sum)
+    writeSnapshot(full)
+    full
   }
 
   private def writeSnapshot(snap: SnapshotMeta): Unit = {
@@ -100,12 +121,10 @@ class LakeTable(spark: SparkSession, rootDir: String, val name: String) {
   }
 
   def committedWaves: Seq[Int] =
-    if (!Files.exists(metaDir)) Seq.empty
-    else Files.list(metaDir).iterator().asScala
-      .map(_.getFileName.toString)
+    Lake.listNames(metaDir)
       .collect { case s if s.startsWith("snapshot-") && s.endsWith(".json") =>
         s.stripPrefix("snapshot-").stripSuffix(".json").toInt
-      }.toVector.sorted
+      }.sorted
 
   def latestWave: Option[Int] = committedWaves.lastOption
 
@@ -164,11 +183,10 @@ class RunLog(rootDir: String) {
   }
 
   def completeWaves: Seq[Int] =
-    Files.list(runDir).iterator().asScala
-      .map(_.getFileName.toString)
+    Lake.listNames(runDir)
       .collect { case s if s.startsWith("wave-") && s.endsWith(".json") =>
         s.stripPrefix("wave-").stripSuffix(".json").toInt
-      }.toVector.sorted
+      }.sorted
 
   def lastCompleteWave: Option[Int] = completeWaves.lastOption
 }

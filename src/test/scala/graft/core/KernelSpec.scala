@@ -103,18 +103,24 @@ class HtmlTokSpec extends AnyFunSuite {
     assert(l.pageLinks == Vector("/x", "/y", "/unquoted", "/x"))
     assert(l.imageLinks == Vector("/i1.png", "/i2.jpg"))
   }
-  test("ignores end tags, comments, script rawtext, non-a/img tags") {
+  test("ignores end tags, comments, non-a/img tags; script CONTENT is tokenized") {
+    // html5ever's raw-text states are only entered when the sink
+    // requests RawData; the reference's sink always Continues
+    // (main.rs:260), so tags inside <script> strings ARE extracted.
     val html =
       """<!-- <a href="/no1">c</a> -->
-        |<script>var s = "<a href='/no2'>x</a>";</script>
+        |<script>var s = "<a href='/yes-script'>x</a>";</script>
         |<div href="/no3"><a name="n" href="/yes">y</a></div>
         |</a href="/no4">""".stripMargin
     val l = HtmlTok.extract(html)
-    assert(l.pageLinks == Vector("/yes"))
+    assert(l.pageLinks == Vector("/yes-script", "/yes"))
   }
-  test("multiple href attrs on one tag all contribute (html5ever keeps each)") {
+  test("duplicate attr name on one tag: first wins (html5ever finish_attribute)") {
     val l = HtmlTok.extract("""<a href="/a" href="/b">x</a>""")
-    assert(l.pageLinks == Vector("/a", "/b"))
+    assert(l.pageLinks == Vector("/a"))
+    // distinct names unaffected
+    val l2 = HtmlTok.extract("""<a name="n" href="/c">x</a>""")
+    assert(l2.pageLinks == Vector("/c"))
   }
   test("entity decoding in attribute values") {
     val l = HtmlTok.extract("""<a href="/p?a=1&amp;b=2">x</a>""")
