@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.SynthWeb
 import graft.crawl.{CrawlConfig, Crawler}
-import graft.ops.{Dedup, Multimodal, Relational, Similarity, TextOps}
+import graft.ops.{Audio, Dedup, Multimodal, Relational, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -54,6 +54,8 @@ object SparkEntry {
         .select("image_id", "w", "h", "fmt", "phash")),
     "q_phash_neardup" -> ((s: SparkSession, _: String) =>
       Multimodal.phashNearDup(Multimodal.syntheticImages(s, 64))),
+    "q_audio_features" -> ((s: SparkSession, _: String) =>
+      Audio.audioFeatures(Audio.syntheticAudio(s, 64))),
     // --- the crawl engine end-to-end (exactly verified vs RefSim in
     // ConformanceSpec; here a smoke slice for the driver) ---
     "q_crawl_smoke" -> ((s: SparkSession, _: String) => {

@@ -91,8 +91,11 @@ object RefSim {
 
       // --- spiders: pages, responses processed in canonical order ---
       val next = Vector.newBuilder[Finding]
+      // fetchFollowing: redirects followed like reqwest (<=10 hops);
+      // the findings resolve against the REQUEST url f.url, not the
+      // final url (src/main.rs:157,163-164)
       adm.iterator.filter(_.kind == Finding.Page).foreach { f =>
-        SynthWeb.fetch(f.url, cfg) match {
+        SynthWeb.fetchFollowing(f.url, cfg) match {
           case SynthWeb.PageBody(html) =>
             val findings = processPage(f.url, html, f.depth)
             val novel = findings.filterNot(archive.contains)
@@ -104,7 +107,7 @@ object RefSim {
 
       // --- fetchers: images ---
       adm.iterator.filter(_.kind == Finding.Image).foreach { f =>
-        SynthWeb.fetch(f.url, cfg) match {
+        SynthWeb.fetchFollowing(f.url, cfg) match {
           case _: SynthWeb.ImageBody => imageIds += f.url
           case _                     => () // warn + drop (src/main.rs:143)
         }

@@ -27,6 +27,7 @@ object SynthWeb {
       hotFrac: Double = 0.0,       // skew: fraction of links aimed at host 0
       malformedFrac: Double = 0.04,
       fancyFrac: Double = 0.20,    // uppercase / :80 / #fragment variants
+      redirectFrac: Double = 0.0,  // links aimed at the /r redirect space
       jpegFrac: Double = 0.5,
       imgMinDim: Int = 16,         // synthetic image edge bounds (px)
       imgMaxDim: Int = 64,
@@ -36,14 +37,19 @@ object SynthWeb {
   sealed trait FetchResult
   final case class PageBody(html: String) extends FetchResult
   final case class ImageBody(bytes: Array[Byte], w: Int, h: Int, fmt: String) extends FetchResult
+  /** A 3xx hop with an absolute Location. Surfaced only by [[fetch]];
+    * [[fetchFollowing]] resolves chains like reqwest does. */
+  final case class RedirectTo(location: String) extends FetchResult
   case object NotFound extends FetchResult
 
   def hostName(i: Int): String = s"h$i.test"
   def pageUrl(host: Int, page: Int): String = s"http://${hostName(host)}/p$page"
+  def redirectUrl(host: Int, slot: Int): String = s"http://${hostName(host)}/r$slot"
   def imageUrl(host: Int, img: Int, jpeg: Boolean): String =
     s"http://${hostName(host)}/img/a$img.${if (jpeg) "jpg" else "png"}"
 
   private val PagePath = """/p(\d+)""".r
+  private val RedirectPath = """/r(\d+)""".r
   private val ImagePath = """/img/a(\d+)\.(png|jpg)""".r
   private val HostName = """h(\d+)\.test""".r
 
@@ -62,6 +68,8 @@ object SynthWeb {
             u.path match {
               case PagePath(js) if js.toInt < cfg.pagesPerHost =>
                 PageBody(pageHtml(i, js.toInt, cfg))
+              case RedirectPath(js) if js.toInt < cfg.pagesPerHost =>
+                RedirectTo(redirectTarget(i, js.toInt, cfg))
               case ImagePath(ks, ext) if ks.toInt < cfg.imagesPerHost =>
                 val id = imageUrl(i, ks.toInt, ext == "jpg")
                 val (w, h) = imageDims(id, cfg.imgMinDim, cfg.imgMaxDim)
@@ -74,6 +82,37 @@ object SynthWeb {
         }
       case _ => NotFound
     }
+  }
+
+  /** Deterministic absolute Location for /r<slot> on host i: mostly a
+    * direct page (often cross-host), sometimes another /r (chains), and
+    * a small self-loop fraction that exercises the >10-hop error path. */
+  private def redirectTarget(host: Int, slot: Int, cfg: WebConfig): String = {
+    val r = XxHash64.mix(XxHash64.hash(redirectUrl(host, slot)), cfg.seed + 777L)
+    val tgtHost = Math.floorMod(XxHash64.mix(r, 1L), cfg.nHosts.toLong).toInt
+    val tgtSlot = Math.floorMod(XxHash64.mix(r, 2L), cfg.pagesPerHost.toLong).toInt
+    val draw = frac(XxHash64.mix(r, 3L))
+    if (draw < 0.05) redirectUrl(host, slot)          // self-loop -> too many redirects
+    else if (draw < 0.30) redirectUrl(tgtHost, tgtSlot) // chain
+    else pageUrl(tgtHost, tgtSlot)
+  }
+
+  /** reqwest 0.11 default redirect policy (the reference's HTTP client,
+    * /root/reference/src/main.rs:71-73,150-155): follow up to 10
+    * redirects; an 11th redirect response is an error -> the spider
+    * warns and drops the page. The REQUEST url (pre-redirect) — not the
+    * final url — is what process_page resolves links against
+    * (src/main.rs:157,163-164), so callers keep their own request url. */
+  def fetchFollowing(url: String, cfg: WebConfig): FetchResult = {
+    var cur = url
+    var hops = 0
+    while (hops <= 10) {
+      fetch(cur, cfg) match {
+        case RedirectTo(loc) => cur = loc; hops += 1
+        case other           => return other
+      }
+    }
+    NotFound // too many redirects -> reqwest error -> warn + drop
   }
 
   def imageDims(imageId: String, minDim: Int = 16, maxDim: Int = 64): (Int, Int) = {
@@ -133,7 +172,10 @@ object SynthWeb {
         val tgtPage = Math.floorMod(XxHash64.mix(r, 3L), cfg.pagesPerHost.toLong).toInt
         val style = XxHash64.mix(r, 4L)
         val href =
-          if (tgtHost == host && frac(XxHash64.mix(r, 5L)) < cfg.relFrac) {
+          if (frac(XxHash64.mix(r, 7L)) < cfg.redirectFrac) {
+            // a link into the /r redirect space (cross-host allowed)
+            s"http://h$tgtHost.test/r$tgtPage"
+          } else if (tgtHost == host && frac(XxHash64.mix(r, 5L)) < cfg.relFrac) {
             // relative forms — resolve against ORIGIN per the reference's
             // set_path("") rewrite, all reaching /p<tgtPage>
             Math.floorMod(style, 4L) match {

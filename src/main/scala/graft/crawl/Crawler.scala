@@ -4,10 +4,9 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.storage.StorageLevel
-import org.apache.spark.util.sketch.BloomFilter
 
 import graft.core.{Canon, Finding, HtmlTok, Imaging, RefSim, SynthWeb}
-import graft.lake.{LakeTable, RunLog}
+import graft.lake.{BucketedLakeTable, LakeTable, RunLog}
 
 /** Engine configuration. Conformance runs (vs RefSim) use
   * robots=false and perWaveHostQuota=None — those two are engine
@@ -22,6 +21,8 @@ final case class CrawlConfig(
     bloom: Boolean = true,
     bloomExpectedItems: Long = 4L * 1000 * 1000,
     bloomFpp: Double = 0.01,
+    seenBuckets: Int = 32,        // seen-table hash buckets (= bloom shards)
+    admitPreLimit: Boolean = true, // budget-aware pre-limit before the window
     fetchPartitions: Int = 64,    // salted fetch-stage slots
     saltSlots: Int = 8,           // sub-slots one hot host spreads over
     robots: Boolean = false,      // engine extension: robots.txt cache table
@@ -59,7 +60,13 @@ class Crawler(spark: SparkSession, cfg: CrawlConfig) extends Serializable {
   import spark.implicits._
 
   val frontierT = new LakeTable(spark, cfg.lakeRoot, "frontier")
-  val seenT = new LakeTable(spark, cfg.lakeRoot, "seen")
+  // seen is hash-BUCKETED on the dedup key (SURVEY.md §2.5 J1): the
+  // cumulative URL-seen set is never re-shuffled by the per-wave
+  // anti-join — its scan reports the bucket partitioning and only the
+  // wave's candidates are exchanged (PlanSpec asserts this).
+  val seenT = new BucketedLakeTable(spark, cfg.lakeRoot, "seen",
+    "kind STRING, url STRING, depth INT, url_hash BIGINT",
+    Seq("kind", "url", "depth"), cfg.seenBuckets)
   val budgetT = new LakeTable(spark, cfg.lakeRoot, "host_budget")
   val imagesT = new LakeTable(spark, cfg.lakeRoot, "images")
   val metricsT = new LakeTable(spark, cfg.lakeRoot, "metrics")
@@ -93,8 +100,7 @@ class Crawler(spark: SparkSession, cfg: CrawlConfig) extends Serializable {
     val df = spark.createDataset(rows).toDF()
     frontierT.commit(0, df.repartition(1))
     budgetT.commit(0, Seq.empty[(String, Long)].toDF("host", "visits"))
-    seenT.commit(0, Seq.empty[(String, String, Int, Long, Int)]
-      .toDF("kind", "url", "depth", "url_hash", "wave_added"))
+    seenT.init()
     if (cfg.robots) robotsT.commit(0, Seq.empty[(String, Seq[String])].toDF("host", "disallow"))
     runLog.markComplete(0, Map("frontier" -> rows.size.toLong))
     rows.size.toLong
@@ -113,7 +119,7 @@ class Crawler(spark: SparkSession, cfg: CrawlConfig) extends Serializable {
     r
   }
 
-  def runWave(wave: Int, bloomState: BloomState): Long = {
+  def runWave(wave: Int, bloomState: PartitionedBloom): Long = {
     val waveT0 = System.nanoTime()
     val sc = spark.sparkContext
     val webCfg = cfg.web
@@ -132,12 +138,29 @@ class Crawler(spark: SparkSession, cfg: CrawlConfig) extends Serializable {
     // row_number per host in canonical (kind,url,depth) order — the
     // fixed linearization shared with RefSim (SURVEY.md §3.4); broadcast
     // the budget (bounded by #hosts, tiny next to the frontier).
-    val w = Window.partitionBy($"host").orderBy($"kind", $"url", $"depth")
-    val ranked = afterRobots
+    val base = afterRobots
       .filter($"host" =!= "")                              // P2 null-host drop
-      .withColumn("rn", row_number().over(w))
       .join(broadcast(budget), Seq("host"), "left")
       .na.fill(0L, Seq("visits"))
+    // Budget-aware PRE-LIMIT (SURVEY.md §7 hard part 5): a hot host's
+    // candidates would otherwise all land in ONE window partition (the
+    // wave's straggler at 100x). Within salted (host, psalt) partitions
+    // keep only each host's `remaining`-smallest rows in canonical
+    // order first — exact, because any row in the host's global top-r
+    // is also in its salt-group's top-r — so the global window sees at
+    // most saltSlots * remaining rows per host.
+    val preLimited =
+      if (!cfg.admitPreLimit) base
+      else {
+        val pw = Window.partitionBy($"host", $"psalt").orderBy($"kind", $"url", $"depth")
+        base
+          .withColumn("psalt", pmod(xxhash64($"url"), lit(math.max(1, cfg.saltSlots))))
+          .withColumn("prn", row_number().over(pw))
+          .filter($"prn" <= lit(visitLimit + 1).cast("long") - $"visits")
+          .drop("psalt", "prn")
+      }
+    val w = Window.partitionBy($"host").orderBy($"kind", $"url", $"depth")
+    val ranked = preLimited.withColumn("rn", row_number().over(w))
     val quotaFilter = cfg.perWaveHostQuota
       .map(q => $"rn" <= q).getOrElse(lit(true))           // token bucket (ext.)
     val admitted = ranked
@@ -170,9 +193,12 @@ class Crawler(spark: SparkSession, cfg: CrawlConfig) extends Serializable {
       val pages = admitted.filter($"kind" === Finding.Page)
         .repartition(cfg.fetchPartitions, saltedKey)
         .as[FrontierRow]
+      // fetchFollowing mirrors reqwest's <=10-redirect follow; links
+      // resolve against the REQUEST url r.url (pre-redirect), exactly
+      // the reference's quirk (src/main.rs:157,163-164)
       val parsed: Dataset[PageResult] = pages.mapPartitions { it =>
         it.map { r =>
-          SynthWeb.fetch(r.url, webCfg) match {
+          SynthWeb.fetchFollowing(r.url, webCfg) match {
             case SynthWeb.PageBody(html) =>
               PageResult(r.url, r.host, r.depth, ok = true,
                 RefSim.processPage(r.url, html, r.depth).toSeq)
@@ -188,47 +214,49 @@ class Crawler(spark: SparkSession, cfg: CrawlConfig) extends Serializable {
       val children = parsed.flatMap { p =>
         p.children.map(c => (c.kind, c.url, c.depth, p.pdepth, p.phost, p.purl))
       }.toDF("kind", "url", "depth", "pdepth", "phost", "purl")
+      // repartition(seenBuckets, dedup key): every downstream stage —
+      // bloom probe, anti-join against the bucketed seen scan, and the
+      // bucketed seen WRITE — reuses this one candidate shuffle; each
+      // write task holds exactly one bucket (no small-file explosion).
       val cands = children
         .groupBy($"kind", $"url", $"depth")
         .agg(
           min_by($"pdepth", struct($"phost", $"purl")).as("gate_depth"),
           count(lit(1)).as("refs"))
         .withColumn("url_hash", xxhash64($"kind", $"url", $"depth"))
+        .withColumn("bucket", bloomState.bucketCol($"kind", $"url", $"depth"))
+        .repartition(cfg.seenBuckets, $"kind", $"url", $"depth")
         .persist(StorageLevel.MEMORY_AND_DISK) // both bloom branches read it
 
-      // --- J1 (+A4): novelty = candidates minus seen. The per-wave Bloom
-      // pre-filter routes definitely-new rows around the anti-join; only
-      // maybe-seen rows probe the exact seen table.
+      // --- J1 (+A4): novelty = candidates minus seen. The partitioned
+      // Bloom pre-filter routes definitely-new rows around the anti-join
+      // (codegen might_contain, one bucket probe per row); only
+      // maybe-seen rows probe the exact bucketed seen table, which is
+      // scanned storage-partitioned — never shuffled.
       // readThrough(wave), NOT readAll(): after a mid-wave crash the lake
       // may hold a torn wave+1 snapshot; scoping the read to the waves the
       // run log marked complete keeps the re-run byte-identical.
       val seen = seenT.readThrough(wave).select($"kind", $"url", $"depth")
-      val novel0 = bloomState.filters match {
-        case fs if cfg.bloom && fs.nonEmpty =>
-          val bfB = sc.broadcast(fs)
-          val maybeSeen = udf((h: Long) => bfB.value.exists(_.mightContainLong(h)))
-          val definitelyNew = cands.filter(!maybeSeen($"url_hash"))
-          val checked = cands.filter(maybeSeen($"url_hash"))
+      val novel0 =
+        if (cfg.bloom && !bloomState.isEmpty) {
+          val probe = bloomState.probeCol(spark, $"bucket", $"url_hash")
+          val definitelyNew = cands.filter(!probe)
+          val checked = cands.filter(probe)
             .join(seen, Seq("kind", "url", "depth"), "left_anti")
           definitelyNew.unionByName(checked)
-        case _ =>
-          cands.join(seen, Seq("kind", "url", "depth"), "left_anti")
-      }
+        } else if (wave == 0) cands // seen is empty before the first commit
+        else cands.join(seen, Seq("kind", "url", "depth"), "left_anti")
       val novel = novel0.persist(StorageLevel.MEMORY_AND_DISK)
       val novelCount = timed(wave, "fetch+novel")(novel.count())
 
       // --- commit seen += novel (ALL novel rows are archived, even those
       // the depth gate keeps out of the queue — src/main.rs:130-134).
-      // Written coalesced from cache (no shuffle): hash-bucketing the
-      // seen table only pays off with bucketed-table metadata on a real
-      // catalog, which plain parquet cannot express (see README).
+      // The insert inherits the candidates' bucket-aligned partitioning.
       timed(wave, "seen_commit")(seenT.commit(wave + 1, novel
-        .select($"kind", $"url", $"depth", $"url_hash", lit(wave + 1).as("wave_added"))
-        .coalesce(nFiles(novelCount))))
-      // per-wave Bloom sized to the wave (tiny partials), kept as a list —
-      // Spark blooms only merge at equal sizes, a list keeps sizes adaptive
+        .select($"kind", $"url", $"depth", $"url_hash", lit(wave + 1).as("wave_added"))))
       if (cfg.bloom && novelCount > 0)
-        timed(wave, "bloom_merge")(bloomState.add(novel, novelCount))
+        timed(wave, "bloom_merge")(
+          bloomState.add(novel, $"bucket", $"url_hash"))
 
       // --- D2 depth gate -> frontier_{k+1}
       val nextFrontier = novel
@@ -248,7 +276,7 @@ class Crawler(spark: SparkSession, cfg: CrawlConfig) extends Serializable {
         .as[FrontierRow]
       val fetchedImages = images.mapPartitions { it =>
         it.map { r =>
-          SynthWeb.fetch(r.url, webCfg) match {
+          SynthWeb.fetchFollowing(r.url, webCfg) match {
             case SynthWeb.ImageBody(bytes, iw, ih, fmt) =>
               val decoded = Imaging.decode(bytes)
               val base = r.url.substring(r.url.lastIndexOf('/') + 1)
@@ -323,14 +351,18 @@ class Crawler(spark: SparkSession, cfg: CrawlConfig) extends Serializable {
 
 
   /** Engine extension D4: consult/populate the robots cache table and
-    * drop disallowed URLs BEFORE budget admission. */
+    * drop disallowed URLs BEFORE budget admission. The robots fetch for
+    * new hosts runs INSIDE executors (mapPartitions over the
+    * host-distinct Dataset) — at web scale (10^7+ hosts) a driver-side
+    * collect+loop would serialize the wave. */
   private def applyRobots(wave: Int, frontier: DataFrame): (DataFrame, DataFrame) = {
     val cache = robotsT.readAll()
-    val newHosts = frontier.select($"host").distinct()
+    val fetched = frontier.select($"host").distinct()
       .join(cache.select($"host"), Seq("host"), "left_anti")
-      .as[String].collect()
-    val fetched = newHosts.toSeq.map(h => (h, SynthWeb.robots(h)))
-    robotsT.commit(wave + 1, fetched.toDF("host", "disallow"))
+      .as[String]
+      .mapPartitions(_.map(h => (h, SynthWeb.robots(h))))
+      .toDF("host", "disallow")
+    robotsT.commit(wave + 1, fetched.repartition(1))
     val allRules = robotsT.readAll()
     val pathCol = regexp_replace($"url", "^[a-z][a-z0-9+.-]*://[^/]*", "")
     val joined = frontier.join(broadcast(allRules), Seq("host"), "left")
@@ -347,7 +379,7 @@ class Crawler(spark: SparkSession, cfg: CrawlConfig) extends Serializable {
   /** Full run (or resume). The loop is thin: per wave one transform,
     * counts come from parquet footers (no collect of data). */
   def run(): CrawlSummary = {
-    val bloomState = new BloomState(cfg)
+    val bloomState = new PartitionedBloom(cfg.seenBuckets, cfg.bloomExpectedItems, cfg.bloomFpp)
     val startWave = runLog.lastCompleteWave match {
       case None =>
         initRun(); 0
@@ -355,8 +387,10 @@ class Crawler(spark: SparkSession, cfg: CrawlConfig) extends Serializable {
         // resume: rebuild the bloom from the COMPLETE waves only (a torn
         // wave k+1 snapshot must not leak into wave k's re-run)
         val seenRows = seenT.rowCountThrough(k)
-        if (cfg.bloom && seenRows > 0)
-          bloomState.rebuildFrom(seenT.readThrough(k), seenRows)
+        if (cfg.bloom && seenRows > 0) {
+          val s = seenT.readThrough(k)
+          bloomState.add(s, bloomState.bucketCol($"kind", $"url", $"depth"), $"url_hash")
+        }
         k
     }
     var wave = startWave
@@ -371,21 +405,3 @@ class Crawler(spark: SparkSession, cfg: CrawlConfig) extends Serializable {
 }
 
 final case class CrawlSummary(waves: Int, seenRows: Long, imageRows: Long)
-
-/** Driver-held Bloom pre-filter over url_hash, ONE filter PER WAVE,
-  * each sized to that wave's novel count (Spark blooms only merge at
-  * identical sizes; a list keeps every wave's filter right-sized, so
-  * aggregation partials stay tiny). Used only as a pre-filter; the
-  * exact anti-join stays authoritative so FPs can never corrupt the
-  * URL-seen set (SURVEY.md §2.4 A4). */
-class BloomState(cfg: CrawlConfig) extends Serializable {
-  @transient var filters: Seq[BloomFilter] = Vector.empty
-
-  private def sized(rows: Long): Long = math.max(2 * rows, 4096L)
-
-  def add(novel: DataFrame, rows: Long): Unit =
-    filters :+= novel.stat.bloomFilter("url_hash", sized(rows), cfg.bloomFpp)
-
-  def rebuildFrom(seen: DataFrame, rows: Long): Unit =
-    filters = Vector(seen.stat.bloomFilter("url_hash", sized(rows), cfg.bloomFpp))
-}

@@ -1,0 +1,132 @@
+package graft.crawl
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Codegen probe of a PARTITIONED Bloom filter: `probe(bucket, hash)`
+  * looks up exactly one per-bucket filter, whose bytes travel as a
+  * BROADCAST (one torrent copy per executor), never as plan literals —
+  * multi-MB literals would bloat every retained plan/plan-string and
+  * ship with every task binary. Whole-stage codegen emits a single
+  * virtual call per row; no Scala UDF boxing.
+  */
+case class BloomProbe(
+    bucket: Expression,
+    hashExpr: Expression,
+    filtersBc: Broadcast[Array[Array[Byte]]]
+) extends Expression {
+
+  override def children: Seq[Expression] = Seq(bucket, hashExpr)
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+
+  @transient private lazy val filters: Array[BloomFilter] =
+    filtersBc.value.map(b =>
+      if (b == null) null else BloomFilter.readFrom(new ByteArrayInputStream(b)))
+
+  /** Hot-path entry used by both interpreted eval and generated code. */
+  def probe(b: Int, h: Long): Boolean = {
+    val f = filters(b)
+    f != null && f.mightContainLong(h)
+  }
+
+  override def eval(input: InternalRow): Any =
+    probe(bucket.eval(input).asInstanceOf[Int], hashExpr.eval(input).asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomProbe", this, classOf[BloomProbe].getName)
+    val b = bucket.genCode(ctx)
+    val h = hashExpr.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${b.code}
+        ${h.code}
+        final boolean ${ev.value} = $ref.probe(${b.value}, ${h.value});""",
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(bucket = newChildren(0), hashExpr = newChildren(1))
+
+  override def toString: String = s"bloom_probe($bucket, $hashExpr, bc=${filtersBc.id})"
+}
+
+/** Partitioned URL-seen Bloom filter (north rule; SURVEY.md §2.4 A4):
+  * one fixed-size filter per seen-table bucket, so probe and state are
+  * partitioned by the same `pmod(hash(kind,url,depth), B)` the storage
+  * layer buckets on.
+  *
+  * - BUILD is distributed: one `groupBy(bucket)` aggregation using
+  *   Spark's native `BloomFilterAggregate` (map-side partial filters
+  *   merged per bucket), collecting only B fixed-size bitsets per wave.
+  *   Filters are fixed-size so per-wave partials merge losslessly
+  *   (`mergeInPlace` requires identical bit counts); saturation only
+  *   degrades the pre-filter's selectivity, never correctness — the
+  *   exact anti-join stays authoritative.
+  * - PROBE is codegen: the [[BloomProbe]] expression routed by bucket
+  *   id — exactly ONE bloom lookup per row, O(1) in the number of
+  *   waves (the round-1 design probed a per-wave filter LIST from a
+  *   Scala UDF: O(#waves) per row and interpreter-bound). Filter bytes
+  *   ship once per wave as a broadcast; retired broadcasts are cleaned
+  *   by Spark's ContextCleaner once their plans are unpersisted.
+  *
+  * At the 10^10 design point the per-bucket state is what an executor
+  * holds resident; in this single-JVM sandbox the merged filters live
+  * with the driver loop.
+  */
+class PartitionedBloom(val buckets: Int, expectedItems: Long, fpp: Double) {
+  private val perBucketItems = math.max(expectedItems / buckets, 1024L)
+  private val numBits = BloomFilter.create(perBucketItems, fpp).bitSize()
+  private val filters: Array[BloomFilter] = new Array[BloomFilter](buckets)
+
+  def isEmpty: Boolean = filters.forall(_ == null)
+
+  /** Bucket id of a row — MUST match both the storage bucketing
+    * (Spark bucketBy hashes with Murmur3, same as `hash()`) and the
+    * `repartition(B, cols)` task routing. */
+  def bucketCol(kind: Column, url: Column, depth: Column): Column =
+    pmod(hash(kind, url, depth), lit(buckets))
+
+  private def bloomAggCol(hashCol: Column): Column =
+    GraftSqlBridge.column(new BloomFilterAggregate(
+      GraftSqlBridge.expression(hashCol),
+      Literal(perBucketItems), Literal(numBits)).toAggregateExpression())
+
+  /** Merge `df`'s hash values into the per-bucket filters. */
+  def add(df: DataFrame, bucketCol: Column, hashCol: Column): Unit = {
+    val rows = df.groupBy(bucketCol.as("b")).agg(bloomAggCol(hashCol).as("bf")).collect()
+    rows.foreach { r =>
+      val b = r.getInt(0)
+      val bf = BloomFilter.readFrom(new ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+      if (filters(b) == null) filters(b) = bf else filters(b).mergeInPlace(bf)
+    }
+  }
+
+  /** The probe column for this wave: broadcasts the current filter
+    * bytes and wires them into a [[BloomProbe]] expression. */
+  def probeCol(spark: SparkSession, bucketCol: Column, hashCol: Column): Column = {
+    val ser: Array[Array[Byte]] = filters.map { f =>
+      if (f == null) null
+      else {
+        val baos = new ByteArrayOutputStream()
+        f.writeTo(baos)
+        baos.toByteArray
+      }
+    }
+    val bc = spark.sparkContext.broadcast(ser)
+    GraftSqlBridge.column(BloomProbe(
+      GraftSqlBridge.expression(bucketCol), GraftSqlBridge.expression(hashCol), bc))
+  }
+}

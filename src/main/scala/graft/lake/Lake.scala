@@ -60,37 +60,20 @@ object Lake {
     else Using.resource(Files.list(dir))(_.iterator().asScala.toVector)
 }
 
-class LakeTable(spark: SparkSession, rootDir: String, val name: String) {
-  private val tableDir: Path = Paths.get(rootDir, name)
-  private val dataDir: Path = tableDir.resolve("data")
-  private val metaDir: Path = tableDir.resolve("_meta")
+/** Shared snapshot-manifest machinery: JSON snapshot per wave with
+  * per-data-file row counts (lineage), atomic rename commit, time
+  * travel / cumulative row counts. */
+abstract class ManifestedTable(rootDir: String, val name: String) {
+  protected val tableDir: Path = Paths.get(rootDir, name)
+  protected val dataDir: Path = tableDir.resolve("data")
+  protected val metaDir: Path = tableDir.resolve("_meta")
   Files.createDirectories(metaDir)
 
-  private val mapper = new ObjectMapper()
+  protected val mapper = new ObjectMapper()
 
-  private def snapshotPath(wave: Int): Path = metaDir.resolve(s"snapshot-$wave.json")
+  protected def snapshotPath(wave: Int): Path = metaDir.resolve(s"snapshot-$wave.json")
 
-  /** Commit `df` as the data of snapshot `wave`. Idempotent: re-running
-    * a crashed wave overwrites its (uncommitted) data dir; the snapshot
-    * JSON lands last via atomic rename, so readers never observe a
-    * half-written wave. Per-file row counts come from Parquet footers
-    * (metadata-only, no data scan). */
-  def commit(wave: Int, df: DataFrame,
-             writeOptions: Map[String, String] = Map.empty): SnapshotMeta = {
-    val waveDir = dataDir.resolve(s"wave=$wave")
-    df.write.mode("overwrite").options(writeOptions).parquet(waveDir.toString)
-    if (!Lake.listNames(waveDir).exists(_.endsWith(".parquet"))) {
-      // zero-partition input wrote no data file; keep one (empty, with
-      // schema) so time travel / readAll never hit a missing wave
-      df.repartition(1).write.mode("overwrite").parquet(waveDir.toString)
-    }
-    val snap = SnapshotMeta(name, wave, LakeTable.footerMetas(waveDir), 0L)
-    val full = snap.copy(totalRows = snap.files.map(_.rows).sum)
-    writeSnapshot(full)
-    full
-  }
-
-  private def writeSnapshot(snap: SnapshotMeta): Unit = {
+  protected def writeSnapshot(snap: SnapshotMeta): Unit = {
     val node = mapper.createObjectNode()
     node.put("table", snap.table)
     node.put("wave", snap.wave)
@@ -128,6 +111,33 @@ class LakeTable(spark: SparkSession, rootDir: String, val name: String) {
 
   def latestWave: Option[Int] = committedWaves.lastOption
 
+  def rowCountThrough(throughWave: Int): Long =
+    committedWaves.filter(_ <= throughWave).flatMap(w => snapshot(w).map(_.totalRows)).sum
+}
+
+class LakeTable(spark: SparkSession, rootDir: String, name: String)
+    extends ManifestedTable(rootDir, name) {
+
+  /** Commit `df` as the data of snapshot `wave`. Idempotent: re-running
+    * a crashed wave overwrites its (uncommitted) data dir; the snapshot
+    * JSON lands last via atomic rename, so readers never observe a
+    * half-written wave. Per-file row counts come from Parquet footers
+    * (metadata-only, no data scan). */
+  def commit(wave: Int, df: DataFrame,
+             writeOptions: Map[String, String] = Map.empty): SnapshotMeta = {
+    val waveDir = dataDir.resolve(s"wave=$wave")
+    df.write.mode("overwrite").options(writeOptions).parquet(waveDir.toString)
+    if (!Lake.listNames(waveDir).exists(_.endsWith(".parquet"))) {
+      // zero-partition input wrote no data file; keep one (empty, with
+      // schema) so time travel / readAll never hit a missing wave
+      df.repartition(1).write.mode("overwrite").parquet(waveDir.toString)
+    }
+    val snap = SnapshotMeta(name, wave, LakeTable.footerMetas(waveDir), 0L)
+    val full = snap.copy(totalRows = snap.files.map(_.rows).sum)
+    writeSnapshot(full)
+    full
+  }
+
   /** Time travel: the rows of exactly snapshot `wave`. */
   def readWave(wave: Int): DataFrame = {
     val snap = snapshot(wave).getOrElse(
@@ -148,9 +158,86 @@ class LakeTable(spark: SparkSession, rootDir: String, val name: String) {
       throw new IllegalStateException(s"$name: empty file list (guard with rowCount first)")
     spark.read.parquet(files.map(_.path): _*)
   }
+}
 
-  def rowCountThrough(throughWave: Int): Long =
-    committedWaves.filter(_ <= throughWave).flatMap(w => snapshot(w).map(_.totalRows)).sum
+/** A manifested table whose data files are ALSO a Spark catalog table,
+  * hash-bucketed on `bucketCols` and directory-partitioned on an int
+  * `wave_added` column — the storage layout that makes the per-wave
+  * anti-join against the cumulative URL-seen set shuffle-free on the
+  * seen side (the scan reports HashPartitioning(bucketCols, buckets),
+  * so only the wave's candidates get exchanged; `Bucketed: true` in
+  * the plan, asserted by PlanSpec).
+  *
+  * - Appends go through `insertInto` so every file carries bucket
+  *   metadata; callers should pre-partition the input by
+  *   `repartition(buckets, bucketCols)` so each task holds exactly one
+  *   bucket (no small-file explosion).
+  * - Wave commits stay idempotent: the wave's partition (catalog entry
+  *   AND directory) is dropped before re-insert, so a crashed wave's
+  *   torn data cannot leak into a resumed run.
+  * - The catalog entry is session-scoped (in-memory catalog); a new
+  *   JVM re-registers the existing files via CREATE TABLE + MSCK
+  *   REPAIR (the Iceberg-runtime swap point, SURVEY.md §1.4).
+  */
+class BucketedLakeTable(
+    spark: SparkSession, rootDir: String, name: String,
+    columnsDdl: String,           // data columns, e.g. "kind STRING, url STRING, ..."
+    val bucketCols: Seq[String],
+    val buckets: Int
+) extends ManifestedTable(rootDir, name) {
+  import org.apache.spark.sql.functions.col
+
+  /** Unique per lakeRoot so many engines can share one session. */
+  val tableName: String = {
+    val h = java.lang.Integer.toHexString(Paths.get(rootDir).toAbsolutePath.toString.hashCode)
+    s"graft_${name}_$h"
+  }
+
+  def ensureRegistered(): Unit = synchronized {
+    Files.createDirectories(dataDir)
+    if (!spark.catalog.tableExists(tableName)) {
+      spark.sql(
+        s"""CREATE TABLE IF NOT EXISTS $tableName ($columnsDdl, wave_added INT)
+           |USING PARQUET
+           |PARTITIONED BY (wave_added)
+           |CLUSTERED BY (${bucketCols.mkString(", ")}) INTO $buckets BUCKETS
+           |LOCATION '${dataDir.toAbsolutePath}'""".stripMargin)
+      if (Lake.listNames(dataDir).exists(_.startsWith("wave_added=")))
+        spark.sql(s"MSCK REPAIR TABLE $tableName")
+    }
+  }
+
+  /** Create the (empty) table and commit snapshot 0. */
+  def init(): Unit = {
+    ensureRegistered()
+    writeSnapshot(SnapshotMeta(name, 0, Vector.empty, 0L))
+  }
+
+  /** Commit `df` (data columns + wave_added) as snapshot `wave`.
+    * Idempotent: drops any torn partition for `wave` first. */
+  def commit(wave: Int, df: DataFrame): SnapshotMeta = {
+    ensureRegistered()
+    val partDir = dataDir.resolve(s"wave_added=$wave")
+    spark.sql(s"ALTER TABLE $tableName DROP IF EXISTS PARTITION (wave_added=$wave)")
+    if (Files.exists(partDir)) {
+      Lake.listPaths(partDir).foreach(Files.deleteIfExists(_))
+      Files.deleteIfExists(partDir)
+    }
+    df.write.mode("append").insertInto(tableName)
+    val snap = SnapshotMeta(name, wave, LakeTable.footerMetas(partDir), 0L)
+    val full = snap.copy(totalRows = snap.files.map(_.rows).sum)
+    writeSnapshot(full)
+    full
+  }
+
+  /** Cumulative catalog-table read through `wave` — partition-pruned,
+    * bucket-partitioned (join-ready without a shuffle on this side). */
+  def readThrough(throughWave: Int): DataFrame = {
+    ensureRegistered()
+    spark.table(tableName).filter(col("wave_added") <= throughWave)
+  }
+
+  def readAll(): DataFrame = readThrough(Int.MaxValue)
 }
 
 /** Run-level commit log: wave k is COMPLETE iff `_run/wave-<k>.json`

@@ -46,12 +46,26 @@ object Dedup {
 
   /** Exact n-gram Jaccard pairs within a `source` block: intersection
     * via shingle equi-join + pair count; union by inclusion-exclusion.
-    * Integer outputs so the DuckDB oracle compares exactly. */
-  def ngramJaccard(spark: SparkSession, dir: String, minInter: Int = 3): DataFrame = {
+    * Integer outputs so the DuckDB oracle compares exactly.
+    *
+    * `maxDf` guards the self-join against hot stop-shingles: a shingle
+    * occurring in f docs contributes f² join pairs, so one "of the
+    * and"-class shingle is quadratic at 100 TB. Shingles with
+    * df > maxDf are dropped from the JOIN ONLY (doc shingle-set sizes
+    * keep them), and the SAME cap is in the oracle SQL, so engine and
+    * oracle agree bit-for-bit even when the cap binds. */
+  val MaxShingleDf = 1000
+
+  def ngramJaccard(spark: SparkSession, dir: String, minInter: Int = 3,
+                   maxDf: Int = MaxShingleDf): DataFrame = {
     import spark.implicits._
     val sh = shingles(spark, dir).persist()
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a").join(sh.as("b"),
+    val dfOk = sh.groupBy($"source", $"shingle")
+      .agg(count(lit(1)).as("df")).filter($"df" <= maxDf)
+      .select($"source", $"shingle")
+    val shJ = sh.join(dfOk, Seq("source", "shingle"))
+    val inter = shJ.as("a").join(shJ.as("b"),
         col("a.shingle") === col("b.shingle") &&
           col("a.source") === col("b.source") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -72,14 +86,15 @@ object Dedup {
   val RowsPerBand = 4
 
   /** MinHash signatures: one aggregation computing all K mins at once
-    * (single shuffle by doc_id). Hash family: xxhash64 with per-row
-    * seed over the shingle. */
+    * (single shuffle by doc_id). Hash family: the BUILT-IN xxhash64
+    * with a per-member salt column — stays inside whole-stage codegen,
+    * where a Scala UDF (K=32 calls per shingle) would interpreter-bounce
+    * the pipeline's hottest path. */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sh = shingles(spark, dir)
-    val hashUdf = udf((s: String, i: Int) => XxHash64.hash(s, 1000L + i))
     val mins = (0 until MinHashK).map(i =>
-      min(hashUdf($"shingle", lit(i))).as(s"h$i"))
+      min(xxhash64(lit(1000L + i), $"shingle")).as(s"h$i"))
     sh.groupBy($"doc_id").agg(mins.head, mins.tail: _*)
   }
 
@@ -189,10 +204,12 @@ object Dedup {
         |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
         |  FROM (SELECT doc_id, source, w, unnest(generate_series(1, len(w) - 2)) AS i
         |        FROM toks WHERE len(w) >= 3)),
+        |df_ok AS (SELECT source, shingle FROM sh GROUP BY 1, 2 HAVING count(*) <= 1000),
+        |shj AS (SELECT sh.* FROM sh JOIN df_ok USING (source, shingle)),
         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
         |inter AS (
         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source = b.source
+        |  FROM shj a JOIN shj b ON a.shingle = b.shingle AND a.source = b.source
         |       AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2 HAVING count(*) >= 3)
         |SELECT i.a_id, i.b_id, i.inter, sa.n_sh + sb.n_sh - i.inter AS uni

@@ -90,12 +90,17 @@ object Multimodal {
   }
 
   /** Near-duplicate images by perceptual-hash chunk banding (same shape
-    * as Dedup.simhashNearDup, over the images table's phash column). */
+    * as Dedup.simhashNearDup, over the images table's phash column).
+    * 8 chunks of 8 bits: by pigeonhole any pair within hamming 7 shares
+    * an untouched chunk, so banding is COMPLETE for the default
+    * maxHamming = 6 (4x16-bit chunks only guaranteed <= 3 and silently
+    * missed 4-6-bit pairs; OpsSpec now asserts equality vs brute force). */
   def phashNearDup(images: DataFrame, maxHamming: Int = 6): DataFrame = {
     val spark = images.sparkSession
     import spark.implicits._
-    val chunkCols = (0 until 4).map(c =>
-      struct(lit(c).as("c"), shiftright($"phash", c * 16).bitwiseAND(lit(0xffffL)).as("ch")))
+    require(maxHamming <= 7, s"8x8-bit banding is only complete for hamming <= 7, got $maxHamming")
+    val chunkCols = (0 until 8).map(c =>
+      struct(lit(c).as("c"), shiftright($"phash", c * 8).bitwiseAND(lit(0xffL)).as("ch")))
     val buckets = images.select($"image_id", $"phash",
         explode(array(chunkCols: _*)).as("cb"))
       .select($"image_id", $"phash", $"cb.c", $"cb.ch")

@@ -178,6 +178,29 @@ class SynthWebSpec extends AnyFunSuite {
       case other => fail(s"$other")
     }
   }
+  test("redirects: chains resolve to final bodies, loops drop after 10 hops") {
+    val rcfg = SynthWeb.WebConfig(nHosts = 6, pagesPerHost = 30, imagesPerHost = 5,
+      redirectFrac = 0.5)
+    var pages, chains, loops = 0
+    for (h <- 0 until rcfg.nHosts; s <- 0 until rcfg.pagesPerHost) {
+      val u = SynthWeb.redirectUrl(h, s)
+      (SynthWeb.fetch(u, rcfg), SynthWeb.fetchFollowing(u, rcfg)) match {
+        case (SynthWeb.RedirectTo(loc), fin) =>
+          fin match {
+            case SynthWeb.PageBody(_) =>
+              if (loc.contains("/r")) chains += 1 else pages += 1
+            case SynthWeb.NotFound => loops += 1 // >10 hops -> error -> drop
+            case other => fail(s"unexpected final for $u: $other")
+          }
+        case other => fail(s"/r must 3xx: $other")
+      }
+    }
+    assert(pages > 0 && chains > 0 && loops > 0, s"$pages/$chains/$loops")
+    // determinism
+    assert(SynthWeb.fetchFollowing(SynthWeb.redirectUrl(0, 0), rcfg) ==
+      SynthWeb.fetchFollowing(SynthWeb.redirectUrl(0, 0), rcfg))
+  }
+
   test("page links resolve within the configured universe") {
     val html = SynthWeb.pageHtml(2, 5, cfg)
     val origin = Canon.canonicalize(SynthWeb.pageUrl(2, 5)).get.origin

@@ -96,6 +96,19 @@ class ConformanceSpec extends SparkTestBase {
     }
   }
 
+  test("redirect chains: request-url origin quirk, loop drop, cross-host hops") {
+    // /r links admitted + budget-charged as themselves; the fetched
+    // body's links resolve against the REQUEST url's origin (so a
+    // cross-host redirect archives children under the ORIGINAL host) —
+    // the reference's pre-redirect-base quirk, src/main.rs:157,163-164
+    val cfg = SynthWeb.WebConfig(nHosts = 5, pagesPerHost = 25, imagesPerHost = 8,
+      linksPerPage = 8, redirectFrac = 0.35)
+    val (c, sim) = runBoth(cfg, SynthWeb.seeds(3))
+    assertConformance(c, sim)
+    // the corpus must actually exercise redirects
+    assert(sim.seen.exists(_.url.matches(""".*\/r\d+$""")), "no /r findings crawled")
+  }
+
   test("seed with fragment and non-default port") {
     val cfg = SynthWeb.WebConfig(nHosts = 3, pagesPerHost = 8, imagesPerHost = 4)
     // the fragment seed fetches p0 (fragment stripped for GET) but is a

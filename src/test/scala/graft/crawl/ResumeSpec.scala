@@ -23,7 +23,8 @@ class ResumeSpec extends SparkTestBase {
     val root = tmpDir("resume")
     val c1 = new Crawler(spark, cfg(root))
     c1.initRun()
-    val bloom1 = new BloomState(cfg(root))
+    val c = cfg(root)
+    val bloom1 = new PartitionedBloom(c.seenBuckets, c.bloomExpectedItems, c.bloomFpp)
     c1.runWave(0, bloom1)
     c1.runWave(1, bloom1)
     c1.awaitQuiesce() // join async metrics so the two writers don't race in-JVM

@@ -131,6 +131,17 @@ class OpsSpec extends SparkTestBase {
       s"missing=${(expected -- res).take(5)} extra=${(res -- expected).take(5)}")
   }
 
+  test("cosine near-dup SRP routing equals the exact cross join (0.4 and 0.9)") {
+    Seq(40, 90).foreach { pct =>
+      val lsh = Similarity.cosineNearDup(spark, embDir, minCosPct = pct)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = Similarity.cosineNearDupExact(spark, embDir, minCosPct = pct)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(lsh == exact,
+        s"pct=$pct missing=${(exact -- lsh).take(5)} extra=${(lsh -- exact).take(5)}")
+    }
+  }
+
   // --------------------------------------------------------- multimodal
 
   test("image features: real decode round-trips dims, phash, luminance") {
@@ -151,6 +162,24 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("audio features: real javax.sound decode round-trips exact features") {
+    val feats = Audio.audioFeatures(Audio.syntheticAudio(spark, 24)).collect()
+    assert(feats.length == 24)
+    feats.foreach { r =>
+      val id = r.getString(0)
+      // oracle: features computed directly from the synth samples,
+      // bypassing the WAV encode/decode cycle — must match EXACTLY
+      // (PCM in a RIFF container is lossless)
+      val expect = Audio.features(id, Audio.synthSamples(id))
+      assert(r.getInt(1) == expect.n_samples, s"$id n_samples")
+      assert(r.getLong(2) == expect.duration_ms, s"$id duration")
+      assert(r.getInt(3) == expect.peak, s"$id peak")
+      assert(r.getLong(4) == expect.rms, s"$id rms")
+      assert(r.getInt(5) == expect.zero_crossings, s"$id zc")
+      assert(expect.peak > 8000, s"$id degenerate corpus (peak=${expect.peak})")
+    }
+  }
+
   test("video frame sampling stub: deterministic count and signatures") {
     val spark0 = spark
     import spark0.implicits._
@@ -164,9 +193,17 @@ class OpsSpec extends SparkTestBase {
     assert(frames.map(_.getLong(2)).sorted.sameElements(again.map(_.getLong(2)).sorted))
   }
 
-  test("phash near-dup emits only pairs within hamming bound") {
-    val imgs = Multimodal.syntheticImages(spark, 48)
-    val res = Multimodal.phashNearDup(imgs, maxHamming = 6).collect()
-    res.foreach(r => assert(r.getInt(2) <= 6 || r.getLong(2) <= 6))
+  test("phash near-dup equals brute force at hamming <= 6 (complete AND sound)") {
+    val imgs = Multimodal.syntheticImages(spark, 48).cache()
+    val hashes = imgs.select("image_id", "phash").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val brute = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 6
+    } yield (a, b)).toSet
+    val res = Multimodal.phashNearDup(imgs, maxHamming = 6)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(res == brute, s"banding diff: missing=${brute -- res} extra=${res -- brute}")
+    assert(brute.nonEmpty, "test corpus should contain phash near-dups")
   }
 }

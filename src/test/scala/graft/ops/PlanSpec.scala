@@ -62,4 +62,62 @@ class PlanSpec extends SparkTestBase {
     assert(exchanges == 1, s"expected exactly 1 shuffle, got $exchanges:\n" + p)
     assert(p.contains("partial_"), "no map-side combine:\n" + p)
   }
+
+  test("cosine near-dup plan has no cartesian product") {
+    val p = plan(Similarity.cosineNearDup(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "near-dup must route candidates via the band equi-join:\n" + p)
+  }
+
+  test("seen anti-join is storage-partitioned: NO exchange on the seen side") {
+    import graft.core.SynthWeb
+    import graft.crawl.{CrawlConfig, Crawler}
+    import org.apache.spark.sql.functions._
+    val spark0 = spark
+    import spark0.implicits._
+    val crawler = new Crawler(spark, CrawlConfig(
+      web = SynthWeb.WebConfig(nHosts = 3, pagesPerHost = 10, imagesPerHost = 4),
+      seeds = SynthWeb.seeds(2), lakeRoot = tmpDir("planlake"),
+      fetchPartitions = 8, saltSlots = 2))
+    crawler.run()
+    val k = crawler.seenT.latestWave.get
+    // the at-scale join shape: candidates exchanged to the bucket count,
+    // the cumulative seen scan NEVER shuffled (and never broadcast)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val cands = Seq(("page", "http://h0.test/p0", 0), ("page", "http://h9.test/p9", 0))
+        .toDF("kind", "url", "depth")
+        .repartition(crawler.seenT.buckets, $"kind", $"url", $"depth")
+      val j = cands.join(crawler.seenT.readThrough(k).select($"kind", $"url", $"depth"),
+        Seq("kind", "url", "depth"), "left_anti")
+      val p = plan(j)
+      assert(p.contains("Bucketed: true"), "seen scan not bucketed:\n" + p)
+      val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+      assert(exchanges <= 1, s"seen side must not shuffle (expected <=1 exchange, candidates only):\n$p")
+      assert(j.count() == 1)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("bloom probe expression stays inside whole-stage codegen") {
+    import graft.crawl.PartitionedBloom
+    import org.apache.spark.sql.functions._
+    val spark0 = spark
+    import spark0.implicits._
+    val pb = new PartitionedBloom(4, 4096, 0.01)
+    // spark.range, not a LocalRelation: ConvertToLocalRelation would
+    // fold the probe away at plan time and hide its physical shape
+    val df = spark.range(100).select($"id".as("h"))
+      .withColumn("bucket", pmod(hash($"h"), lit(4)))
+    pb.add(df, $"bucket", $"h")
+    val probed = df.filter(pb.probeCol(spark, $"bucket", $"h"))
+    val p = plan(probed)
+    assert(p.contains("bloom_probe"), p)
+    // formatted explain marks codegen'd nodes with '*' + a codegen id;
+    // the Filter carrying the probe must be one of them
+    assert("\\* Filter".r.findFirstIn(p).isDefined && p.contains("[codegen id"),
+      "probe fell out of codegen:\n" + p)
+    // every inserted hash must probe true (blooms have no false negatives)
+    assert(probed.count() == 100)
+  }
 }
