@@ -48,6 +48,7 @@ object SparkEntry {
     "q_cosine_neardup" -> ((s: SparkSession, d: String) => Similarity.cosineNearDup(s, d)),
     "q_lsh_ann" -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
     "q_ivf_ann" -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
+    "q_ivf_partitioned" -> ((s: SparkSession, d: String) => Similarity.ivfPartitionedTopK(s, d)),
     // --- multimodal (binary columns; real image decode, see Multimodal) ---
     "q_multimodal_features" -> ((s: SparkSession, _: String) =>
       Multimodal.imageFeatures(Multimodal.syntheticImages(s, 64))

@@ -17,6 +17,26 @@ object Finding {
   val Image = "image"
 }
 
+/** The page-processing KERNEL shared by the distributed engine and the
+  * RefSim oracle: process_page (src/main.rs:161-173) — origin-base
+  * rewrite, tokenize, resolve; per-page HashSet dedup
+  * (src/main.rs:193-204). Living here (not inside either caller) makes
+  * the sharing explicit: conformance proves the DISTRIBUTED PLAN
+  * (admission order, dedup, budgets, wave structure); the kernel itself
+  * is proven by its own unit + property suites (CanonSpec, HtmlTokSpec,
+  * PropertiesSpec). */
+object PageKernel {
+  def processPage(pageUrl: String, html: String, depth: Int): Set[Finding] = {
+    val origin = Canon.canonicalize(pageUrl).get.origin
+    val links = HtmlTok.extract(html)
+    val pages = links.pageLinks.flatMap(Canon.resolveLink(_, origin))
+      .map(u => Finding(Finding.Page, u.render, depth))
+    val images = links.imageLinks.flatMap(Canon.resolveLink(_, origin))
+      .map(u => Finding(Finding.Image, u.render, 0))
+    (pages ++ images).toSet
+  }
+}
+
 /** Single-threaded conformance oracle: a literal simulation of
   * main.rs's wave loop (src/main.rs:86-147) over the synthetic web,
   * with ONE fixed linearization — per wave, the queue is processed in
@@ -126,15 +146,7 @@ object RefSim {
     )
   }
 
-  /** process_page (src/main.rs:161-173): origin-base rewrite, tokenize,
-    * resolve; per-page HashSet dedup (src/main.rs:193-204). */
-  def processPage(pageUrl: String, html: String, depth: Int): Set[Finding] = {
-    val origin = Canon.canonicalize(pageUrl).get.origin
-    val links = HtmlTok.extract(html)
-    val pages = links.pageLinks.flatMap(Canon.resolveLink(_, origin))
-      .map(u => Finding(Finding.Page, u.render, depth))
-    val images = links.imageLinks.flatMap(Canon.resolveLink(_, origin))
-      .map(u => Finding(Finding.Image, u.render, 0))
-    (pages ++ images).toSet
-  }
+  /** See [[PageKernel.processPage]] — the shared kernel. */
+  def processPage(pageUrl: String, html: String, depth: Int): Set[Finding] =
+    PageKernel.processPage(pageUrl, html, depth)
 }

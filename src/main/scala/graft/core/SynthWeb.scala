@@ -56,6 +56,21 @@ object SynthWeb {
   /** Deterministic unit-interval draw from a hash. */
   @inline private def frac(h: Long): Double = ((h >>> 11).toDouble) / (1L << 53).toDouble
 
+  /** The wire form of a page response: body bytes + the Content-Type
+    * charset label. Every 5th page is served ISO-8859-1 (its accented
+    * body text encodes differently from UTF-8); the rest are UTF-8.
+    * [[fetch]] decodes exactly like reqwest's `response.text()`
+    * (charset from the header, /root/reference/src/main.rs:155). */
+  def pageWire(host: Int, page: Int, cfg: WebConfig): (Array[Byte], String) = {
+    val html = pageHtml(host, page, cfg)
+    if (page % 5 == 4) (html.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1), "ISO-8859-1")
+    else (html.getBytes(java.nio.charset.StandardCharsets.UTF_8), "UTF-8")
+  }
+
+  /** response.text(): decode body bytes per the declared charset. */
+  def decodeBody(bytes: Array[Byte], charset: String): String =
+    new String(bytes, java.nio.charset.Charset.forName(charset))
+
   /** Classify + serve a canonical URL. Fragment is ignored for fetching
     * (a GET of `u#x` retrieves `u`), like any HTTP client. */
   def fetch(url: String, cfg: WebConfig): FetchResult = {
@@ -67,7 +82,8 @@ object SynthWeb {
             if (i >= cfg.nHosts) return NotFound
             u.path match {
               case PagePath(js) if js.toInt < cfg.pagesPerHost =>
-                PageBody(pageHtml(i, js.toInt, cfg))
+                val (bytes, charset) = pageWire(i, js.toInt, cfg)
+                PageBody(decodeBody(bytes, charset))
               case RedirectPath(js) if js.toInt < cfg.pagesPerHost =>
                 RedirectTo(redirectTarget(i, js.toInt, cfg))
               case ImagePath(ks, ext) if ks.toInt < cfg.imagesPerHost =>
@@ -155,7 +171,9 @@ object SynthWeb {
       .append(" of host ").append(host).append("</title>\n")
       .append("<script>var x = \"<a href='/not-a-real-link'>\";</script>\n")
       .append("</head>\n<body>\n<!-- <a href=\"/commented-out\">nope</a> -->\n")
-      .append("<h1>synthetic page</h1>\n")
+      // accented body text: ISO-8859-1 pages (pageWire) encode these
+      // bytes differently from UTF-8, exercising the charset decode
+      .append("<h1>synthetic page à la café</h1>\n")
 
     var l = 0
     while (l < cfg.linksPerPage) {

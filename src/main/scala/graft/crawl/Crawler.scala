@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.storage.StorageLevel
 
-import graft.core.{Canon, Finding, HtmlTok, Imaging, RefSim, SynthWeb}
+import graft.core.{Canon, Finding, HtmlTok, Imaging, PageKernel, SynthWeb}
 import graft.lake.{BucketedLakeTable, LakeTable, RunLog}
 
 /** Engine configuration. Conformance runs (vs RefSim) use
@@ -23,6 +23,12 @@ final case class CrawlConfig(
     bloomFpp: Double = 0.01,
     seenBuckets: Int = 32,        // seen-table hash buckets (= bloom shards)
     admitPreLimit: Boolean = true, // budget-aware pre-limit before the window
+    // engage the pre-limit only when the wave's frontier is big enough
+    // that one viral host's window partition could actually straggle;
+    // below this the pre-limit's extra exchange costs more than the
+    // single-task sort it avoids (measured: ~25% admit overhead at
+    // sandbox sizes). 0 forces it on (specs + conformance do this).
+    admitPreLimitMinRows: Long = 4L * 1000 * 1000,
     fetchPartitions: Int = 64,    // salted fetch-stage slots
     saltSlots: Int = 8,           // sub-slots one hot host spreads over
     robots: Boolean = false,      // engine extension: robots.txt cache table
@@ -148,17 +154,14 @@ class Crawler(spark: SparkSession, cfg: CrawlConfig) extends Serializable {
     // keep only each host's `remaining`-smallest rows in canonical
     // order first — exact, because any row in the host's global top-r
     // is also in its salt-group's top-r — so the global window sees at
-    // most saltSlots * remaining rows per host.
+    // most saltSlots * remaining rows per host (AdmissionSpec asserts
+    // the bound AND exactness). Engaged adaptively: the frontier row
+    // count is free (snapshot footers), and below admitPreLimitMinRows
+    // the single-task sort it avoids is cheaper than its extra exchange.
+    val frontierRows = frontierT.snapshot(wave).map(_.totalRows).getOrElse(Long.MaxValue)
     val preLimited =
-      if (!cfg.admitPreLimit) base
-      else {
-        val pw = Window.partitionBy($"host", $"psalt").orderBy($"kind", $"url", $"depth")
-        base
-          .withColumn("psalt", pmod(xxhash64($"url"), lit(math.max(1, cfg.saltSlots))))
-          .withColumn("prn", row_number().over(pw))
-          .filter($"prn" <= lit(visitLimit + 1).cast("long") - $"visits")
-          .drop("psalt", "prn")
-      }
+      if (!cfg.admitPreLimit || frontierRows < cfg.admitPreLimitMinRows) base
+      else Admission.preLimit(base, visitLimit, cfg.saltSlots)
     val w = Window.partitionBy($"host").orderBy($"kind", $"url", $"depth")
     val ranked = preLimited.withColumn("rn", row_number().over(w))
     val quotaFilter = cfg.perWaveHostQuota
@@ -170,22 +173,25 @@ class Crawler(spark: SparkSession, cfg: CrawlConfig) extends Serializable {
 
     val admittedCount = timed(wave, "admit+count")(admitted.count()) // materializes the cache
 
-    // --- A2: merge admitted counts into the budget table (full rewrite;
-    // the table is <= #hosts rows).
-    val newBudget = budget.unionByName(
-        admitted.groupBy($"host").agg(count(lit(1)).as("visits")))
-      .groupBy($"host").agg(sum($"visits").as("visits"))
-    // repartition(1), NOT coalesce(1): coalesce propagates up and would
-    // run the whole aggregation single-task at any core count
-    timed(wave, "budget_commit")(budgetT.commit(wave + 1, newBudget.repartition(1)))
-
     // target ~512k rows per committed file; admitted is cached, so the
-    // pages and images chains below run CONCURRENTLY (independent jobs
-    // on the shared scheduler), halving the wave's fixed-cost path.
+    // budget, pages and images chains below run CONCURRENTLY
+    // (independent jobs on the shared scheduler), shortening the wave's
+    // fixed-cost path to the slowest chain.
     def nFiles(rows: Long): Int = math.max(1, math.min(64, (rows / 131072L + 1L).toInt))
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
+
+    // --- A2: merge admitted counts into the budget table (full rewrite;
+    // the table is <= #hosts rows).
+    val budgetChain = Future {
+      val newBudget = budget.unionByName(
+          admitted.groupBy($"host").agg(count(lit(1)).as("visits")))
+        .groupBy($"host").agg(sum($"visits").as("visits"))
+      // repartition(1), NOT coalesce(1): coalesce propagates up and would
+      // run the whole aggregation single-task at any core count
+      timed(wave, "budget_commit")(budgetT.commit(wave + 1, newBudget.repartition(1)))
+    }
 
     // ====================== pages chain ======================
     val pagesChain = Future {
@@ -201,11 +207,22 @@ class Crawler(spark: SparkSession, cfg: CrawlConfig) extends Serializable {
           SynthWeb.fetchFollowing(r.url, webCfg) match {
             case SynthWeb.PageBody(html) =>
               PageResult(r.url, r.host, r.depth, ok = true,
-                RefSim.processPage(r.url, html, r.depth).toSeq)
+                PageKernel.processPage(r.url, html, r.depth).toSeq)
             case _ => PageResult(r.url, r.host, r.depth, ok = false, Seq.empty)
           }
         }
       }.persist(StorageLevel.MEMORY_AND_DISK)
+
+      // PIPELINE with the previous wave: the fetch+parse job depends
+      // only on THIS wave's admission — not on the previous wave's seen
+      // append / bloom merge, which may still be committing. Warm the
+      // parsed cache now; the anti-join below (which DOES need them)
+      // joins `seenReady` first. This overlaps the longest stage of
+      // wave k+1 with the commit tail of wave k — at high core counts
+      // that tail is the non-scaling wave cost.
+      val parsedWarm = Future { timed(wave, "fetch")(parsed.count()) }
+      Await.result(parsedWarm, Duration.Inf)
+      Await.result(seenReady, Duration.Inf)
 
       // --- U1: children across all pages; M4 per-page dedup already done
       // in processPage's Set. gate_depth = depth of the first parent in
@@ -247,23 +264,35 @@ class Crawler(spark: SparkSession, cfg: CrawlConfig) extends Serializable {
         } else if (wave == 0) cands // seen is empty before the first commit
         else cands.join(seen, Seq("kind", "url", "depth"), "left_anti")
       val novel = novel0.persist(StorageLevel.MEMORY_AND_DISK)
-      val novelCount = timed(wave, "fetch+novel")(novel.count())
+      val novelCount = timed(wave, "novel")(novel.count())
 
+      // novel is cached: the seen append, bloom merge, and frontier
+      // commit are independent reads of it — run them concurrently.
       // --- commit seen += novel (ALL novel rows are archived, even those
       // the depth gate keeps out of the queue — src/main.rs:130-134).
       // The insert inherits the candidates' bucket-aligned partitioning.
-      timed(wave, "seen_commit")(seenT.commit(wave + 1, novel
-        .select($"kind", $"url", $"depth", $"url_hash", lit(wave + 1).as("wave_added"))))
-      if (cfg.bloom && novelCount > 0)
-        timed(wave, "bloom_merge")(
-          bloomState.add(novel, $"bucket", $"url_hash"))
-
+      val fSeen = Future {
+        timed(wave, "seen_commit")(seenT.commit(wave + 1, novel
+          .select($"kind", $"url", $"depth", $"url_hash", lit(wave + 1).as("wave_added"))))
+      }
+      val fBloom = Future {
+        if (cfg.bloom && novelCount > 0)
+          timed(wave, "bloom_merge")(
+            bloomState.add(novel, $"bucket", $"url_hash"))
+      }
       // --- D2 depth gate -> frontier_{k+1}
-      val nextFrontier = novel
-        .filter($"gate_depth" < depthLimit)
-        .select($"kind", $"url", $"depth", hostCol($"url").as("host"))
-      timed(wave, "frontier_commit")(
-        frontierT.commit(wave + 1, nextFrontier.coalesce(nFiles(novelCount))))
+      val fFrontier = Future {
+        val nextFrontier = novel
+          .filter($"gate_depth" < depthLimit)
+          .select($"kind", $"url", $"depth", hostCol($"url").as("host"))
+        timed(wave, "frontier_commit")(
+          frontierT.commit(wave + 1, nextFrontier.coalesce(nFiles(novelCount))))
+      }
+      // the seen append + bloom merge escape this wave: the NEXT wave's
+      // anti-join awaits them (seenReady) right before it needs them,
+      // so its admission + fetch overlap this commit tail
+      seenReady = for { _ <- fSeen; _ <- fBloom } yield ()
+      Await.result(fFrontier, Duration.Inf)
       cands.unpersist(false)
       (parsed, novel)
     }
@@ -297,8 +326,9 @@ class Crawler(spark: SparkSession, cfg: CrawlConfig) extends Serializable {
 
     val (parsed, novel) = Await.result(pagesChain, Duration.Inf)
     val fetchedImages = Await.result(imagesChain, Duration.Inf)
+    Await.result(budgetChain, Duration.Inf) // next wave reads budget_{k+1}
+    val readyThisWave = seenReady           // seen+bloom tail of THIS wave
     val nextCount = frontierT.snapshot(wave + 1).get.totalRows
-    val seenRows = seenT.snapshot(wave + 1).get.totalRows
     val imageRows = imagesT.snapshot(wave + 1).get.totalRows
 
     // --- per-wave, per-host-bucket metrics (lineage beyond the
@@ -326,12 +356,15 @@ class Crawler(spark: SparkSession, cfg: CrawlConfig) extends Serializable {
       .withColumn("wave", lit(wave))
     val waveWallMs = (System.nanoTime() - waveT0) / 1000000L
     val prevTail = pendingTail
-    pendingTail = prevTail.map { _ =>
+    // the run-log mark (the resume contract: wave complete <=> ALL its
+    // table snapshots landed) and the cache releases must wait for the
+    // escaped seen+bloom commits of this wave too
+    pendingTail = for { _ <- prevTail; _ <- readyThisWave } yield {
       timed(wave, "metrics_commit")(metricsT.commit(wave + 1, metrics.repartition(1)))
       runLog.markComplete(wave + 1, Map(
         "frontier" -> nextCount,
         "admitted" -> admittedCount,
-        "novel" -> seenRows,
+        "novel" -> seenT.snapshot(wave + 1).get.totalRows,
         "images" -> imageRows,
         "wall_ms" -> waveWallMs))
       admitted.unpersist(false); parsed.unpersist(false)
@@ -342,6 +375,11 @@ class Crawler(spark: SparkSession, cfg: CrawlConfig) extends Serializable {
 
   // async tail of metrics commits + run-log marks, chained to stay ordered
   @transient private var pendingTail: scala.concurrent.Future[Unit] =
+    scala.concurrent.Future.unit
+  // the current wave's escaped seen-append + bloom-merge: the next
+  // wave's anti-join joins this right before it needs them, letting its
+  // admission + fetch overlap this wave's commit tail
+  @transient private var seenReady: scala.concurrent.Future[Unit] =
     scala.concurrent.Future.unit
 
   /** Join the async metrics/run-log tail (call before reading final
@@ -405,3 +443,24 @@ class Crawler(spark: SparkSession, cfg: CrawlConfig) extends Serializable {
 }
 
 final case class CrawlSummary(waves: Int, seenRows: Long, imageRows: Long)
+
+/** The skew-safe admission pre-limit, separated for direct testing:
+  * AdmissionSpec proves (a) the bound — at most saltSlots * remaining
+  * rows per host survive into the global window — and (b) exactness —
+  * the admitted set is bit-identical with and without it. */
+object Admission {
+  import org.apache.spark.sql.functions._
+
+  /** `base` must carry (kind, url, depth, host, visits). Keeps each
+    * host's `visitLimit + 1 - visits` smallest rows per salt slot in
+    * canonical (kind, url, depth) order. */
+  def preLimit(base: DataFrame, visitLimit: Int, saltSlots: Int): DataFrame = {
+    val pw = Window.partitionBy(col("host"), col("psalt"))
+      .orderBy(col("kind"), col("url"), col("depth"))
+    base
+      .withColumn("psalt", pmod(xxhash64(col("url")), lit(math.max(1, saltSlots))))
+      .withColumn("prn", row_number().over(pw))
+      .filter(col("prn") <= lit(visitLimit + 1).cast("long") - col("visits"))
+      .drop("psalt", "prn")
+  }
+}

@@ -38,13 +38,21 @@ object LakeTable {
     * data scan) — the manifest's per-partition lineage. */
   def footerMetas(dir: Path): Vector[DataFileMeta] = {
     val conf = new Configuration()
-    Lake.listPaths(dir)
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .map { p =>
+    val files = Lake.listPaths(dir).filter(_.getFileName.toString.endsWith(".parquet"))
+    // footer opens are independent tiny reads: do them in parallel (a
+    // bucketed wave writes up to 2x buckets files; serial opens were a
+    // measurable slice of the per-wave fixed cost)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val metas = files.map { p =>
+      Future {
         val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new HPath(p.toString), conf))
         val rows = try reader.getRecordCount finally reader.close()
         DataFileMeta(p.toString, rows)
-      }.sortBy(_.path)
+      }
+    }
+    Await.result(Future.sequence(metas), Duration.Inf).sortBy(_.path)
   }
 }
 
@@ -193,7 +201,9 @@ class BucketedLakeTable(
     s"graft_${name}_$h"
   }
 
-  def ensureRegistered(): Unit = synchronized {
+  @volatile private var registered = false
+
+  def ensureRegistered(): Unit = if (!registered) synchronized {
     Files.createDirectories(dataDir)
     if (!spark.catalog.tableExists(tableName)) {
       spark.sql(
@@ -205,6 +215,7 @@ class BucketedLakeTable(
       if (Lake.listNames(dataDir).exists(_.startsWith("wave_added=")))
         spark.sql(s"MSCK REPAIR TABLE $tableName")
     }
+    registered = true
   }
 
   /** Create the (empty) table and commit snapshot 0. */
@@ -218,8 +229,10 @@ class BucketedLakeTable(
   def commit(wave: Int, df: DataFrame): SnapshotMeta = {
     ensureRegistered()
     val partDir = dataDir.resolve(s"wave_added=$wave")
-    spark.sql(s"ALTER TABLE $tableName DROP IF EXISTS PARTITION (wave_added=$wave)")
+    // torn-wave cleanup only when a previous attempt left data — the
+    // normal path skips the catalog round-trip entirely
     if (Files.exists(partDir)) {
+      spark.sql(s"ALTER TABLE $tableName DROP IF EXISTS PARTITION (wave_added=$wave)")
       Lake.listPaths(partDir).foreach(Files.deleteIfExists(_))
       Files.deleteIfExists(partDir)
     }

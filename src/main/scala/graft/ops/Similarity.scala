@@ -25,19 +25,71 @@ object Similarity {
   private def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
 
-  /** Exact brute-force cosine top-k per vector. O(n²) — the
-    * correctness baseline the LSH path is measured against. */
+  /** Exact brute-force cosine top-k per vector. O(n²) by definition —
+    * the correctness baseline the LSH/IVF paths are measured against —
+    * but executed as a broadcast + per-partition scoring KERNEL: the
+    * corpus broadcasts once, each task scores its queries against it in
+    * tight double loops and keeps a running top-k, so no n² row stream
+    * ever materializes (the catalyst cross-join + window formulation
+    * spent its time in interpreted higher-order exprs and a full-pair
+    * shuffle). Accumulation order matches the DuckDB oracle's
+    * list_dot_product (sequential over dims, double), so results
+    * hash-match exactly. */
   def bruteTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     import spark.implicits._
-    val e = emb(spark, dir).select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
-    val pairs = e.select($"vec_id".as("a_id"), $"embedding".as("ea"), $"nrm".as("na"))
-      .crossJoin(e.select($"vec_id".as("b_id"), $"embedding".as("eb"), $"nrm".as("nb")))
-      .filter($"a_id" =!= $"b_id")
-      .select($"a_id", $"b_id", (dot($"ea", $"eb") / ($"na" * $"nb")).as("sim"))
-    val w = Window.partitionBy($"a_id").orderBy($"sim".desc, $"b_id")
-    pairs.withColumn("rnk", row_number().over(w).cast("bigint"))
-      .filter($"rnk" <= k)
-      .select($"a_id", $"b_id", $"rnk")
+    val e = emb(spark, dir).select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])]
+    val corpus: Array[(Long, Array[Float], Double)] = e.collect()
+      .map { case (id, v) => (id, v, normOf(v)) }
+      .sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(corpus)
+    e.repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        val all = bc.value
+        it.flatMap { case (aId, va) =>
+          val na = normOf(va)
+          // top-k by (sim desc, b_id asc): small insertion buffer
+          val ids = new Array[Long](k)
+          val sims = new Array[Double](k)
+          var filled = 0
+          var i = 0
+          while (i < all.length) {
+            val (bId, vb, nb) = all(i)
+            if (bId != aId) {
+              val s = dotOf(va, vb) / (na * nb)
+              // better than current worst?
+              if (filled < k || s > sims(filled - 1) ||
+                  (s == sims(filled - 1) && bId < ids(filled - 1))) {
+                var j = math.min(filled, k - 1)
+                while (j > 0 && (sims(j - 1) < s || (sims(j - 1) == s && ids(j - 1) > bId))) {
+                  sims(j) = sims(j - 1); ids(j) = ids(j - 1); j -= 1
+                }
+                sims(j) = s; ids(j) = bId
+                if (filled < k) filled += 1
+              }
+            }
+            i += 1
+          }
+          (0 until filled).map(r => (aId, ids(r), (r + 1).toLong))
+        }
+      }
+      .toDF("a_id", "b_id", "rnk")
+  }
+
+  /** Sequential double fold over float dims — bit-identical to the
+    * `aggregate`/`zip_with` fold and DuckDB's list_dot_product. */
+  @inline private def dotOf(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  @inline private def normOf(a: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i).toDouble * a(i).toDouble; i += 1 }
+    math.sqrt(s)
   }
 
   // cosineNearDup SRP routing: 32 bands x 3 planes. For a pair at the
@@ -171,12 +223,11 @@ object Similarity {
     * candidates come from an equi-join on the cluster id — at scale the
     * vectors table is partitioned by cluster so a probe reads only
     * nProbe/nCentroids of the data. Exact cosine ranks candidates. */
-  def ivfTopK(spark: SparkSession, dir: String, k: Int = 5,
-              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    import spark.implicits._
-    val e = emb(spark, dir).select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
-    val centroids: Array[(Int, Array[Double])] = e
-      .select($"vec_id", $"embedding")
+  /** Deterministic coarse quantizer: centroid sample by lowest
+    * xxhash64(vec_id) (TakeOrdered, not a full sort), unit-normalized. */
+  private def coarseCentroids(e: DataFrame, nCentroids: Int): Array[(Int, Array[Double])] = {
+    import e.sparkSession.implicits._
+    e.select($"vec_id", $"embedding")
       .orderBy(xxhash64($"vec_id"), $"vec_id")
       .limit(nCentroids)
       .collect()
@@ -186,18 +237,32 @@ object Similarity {
         val n = math.sqrt(v.map(x => x * x).sum)
         (i, v.map(_ / math.max(n, 1e-12)))
       }
-    val cB = spark.sparkContext.broadcast(centroids)
-    def cosines(v: Seq[Float]): Array[(Int, Double)] = {
-      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
-      cB.value.map { case (cid, c) =>
-        var d = 0.0; var i = 0
-        while (i < v.length) { d += v(i) * c(i); i += 1 }
-        (cid, d / math.max(n, 1e-12))
-      }
+  }
+
+  /** Cosine of `v` against every centroid. */
+  private def centroidCosines(
+      centroids: Array[(Int, Array[Double])], v: Seq[Float]): Array[(Int, Double)] = {
+    val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+    centroids.map { case (cid, c) =>
+      var d = 0.0; var i = 0
+      while (i < v.length) { d += v(i) * c(i); i += 1 }
+      (cid, d / math.max(n, 1e-12))
     }
-    val assignUdf = udf((v: Seq[Float]) => cosines(v).maxBy(_._2)._1)
+  }
+
+  def ivfTopK(spark: SparkSession, dir: String, k: Int = 5,
+              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir).select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
+    val centroids = coarseCentroids(e, nCentroids)
+    val cB = spark.sparkContext.broadcast(centroids)
+    val assignUdf = udf((v: Seq[Float]) => centroidCosines(cB.value, v).maxBy(_._2)._1)
     val probesUdf = udf((v: Seq[Float]) =>
-      cosines(v).sortBy(-_._2).take(nProbe).map(_._1))
+      centroidCosines(cB.value, v).sortBy(-_._2).take(nProbe).map(_._1))
+    // candidate scoring stays in the codegen'd higher-order fold —
+    // measured FASTER than a tight-loop Scala UDF here (UDF pays
+    // per-element boxing through the Seq[Float] bridge: 17-23s vs
+    // 13s at sf0.1), and it matches the oracle's accumulation shape
     val assigned = e.withColumn("cluster", assignUdf($"embedding"))
     val queries = e.withColumn("probes", probesUdf($"embedding"))
       .select($"vec_id".as("a_id"), $"embedding".as("ea"), $"nrm".as("na"),
@@ -212,6 +277,68 @@ object Similarity {
     cands.withColumn("rnk", row_number().over(w).cast("bigint"))
       .filter($"rnk" <= k)
       .select($"a_id", $"b_id", $"rnk")
+  }
+
+  /** IVF with the 100 TB layout MATERIALIZED: the corpus is written as
+    * parquet PARTITIONED BY its coarse cluster id — the "inverted
+    * lists" — and a (small) query batch probes only its union of
+    * nProbe clusters via a literal partition filter, so the scan reads
+    * probed-clusters/nCentroids of the data (PartitionFilters reach the
+    * scan; PlanSpec asserts actual file pruning). Results are
+    * bit-identical to [[ivfTopK]] for the same queries (same centroid
+    * family, same probe rule, same candidates — only the I/O layout
+    * differs), asserted in OpsSpec. */
+  def ivfPartitionedTopK(spark: SparkSession, dir: String, k: Int = 5,
+                         nCentroids: Int = 16, nProbe: Int = 4,
+                         nQueries: Int = 64): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir).select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
+    val centroids = coarseCentroids(e, nCentroids)
+    val cB = spark.sparkContext.broadcast(centroids)
+    val assignUdf = udf((v: Seq[Float]) => centroidCosines(cB.value, v).maxBy(_._2)._1)
+    val probesUdf = udf((v: Seq[Float]) =>
+      centroidCosines(cB.value, v).sortBy(-_._2).take(nProbe).map(_._1))
+
+    // build the inverted lists once (in production: a maintained table)
+    val idxDir = java.nio.file.Files.createTempDirectory("ivf_index").toString
+    e.withColumn("cluster", assignUdf($"embedding"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(idxDir)
+    val index = spark.read.parquet(idxDir)
+
+    // deterministic query batch (seeded sample, no RNG)
+    val queries = e.orderBy(xxhash64($"vec_id", lit(17L)), $"vec_id").limit(nQueries)
+      .withColumn("probes", probesUdf($"embedding"))
+      .select($"vec_id".as("a_id"), $"embedding".as("ea"), $"nrm".as("na"),
+        explode($"probes").as("cluster"))
+      .persist()
+    val probed = queries.select($"cluster").distinct().as[Int].collect().toSeq.sorted
+
+    // literal IN filter on the partition column -> static pruning: only
+    // the probed inverted lists are ever read
+    val lists = index.filter($"cluster".isin(probed: _*))
+      .select($"vec_id".as("b_id"), $"embedding".as("eb"), $"nrm".as("nb"), $"cluster")
+    val cands = queries.join(lists, "cluster")
+      .filter($"a_id" =!= $"b_id")
+      .select($"a_id", $"b_id", (dot($"ea", $"eb") / ($"na" * $"nb")).as("sim"))
+      .groupBy($"a_id", $"b_id").agg(first($"sim").as("sim"))
+    val w = Window.partitionBy($"a_id").orderBy($"sim".desc, $"b_id")
+    cands.withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter($"rnk" <= k)
+      .select($"a_id", $"b_id", $"rnk")
+  }
+
+  /** The pruned index reader for PlanSpec's partition-pruning gate. */
+  def ivfPrunedScan(spark: SparkSession, dir: String,
+                    nCentroids: Int = 16, clusters: Seq[Int] = Seq(0, 1)): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir).select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
+    val centroids = coarseCentroids(e, nCentroids)
+    val cB = spark.sparkContext.broadcast(centroids)
+    val assignUdf = udf((v: Seq[Float]) => centroidCosines(cB.value, v).maxBy(_._2)._1)
+    val idxDir = java.nio.file.Files.createTempDirectory("ivf_index").toString
+    e.withColumn("cluster", assignUdf($"embedding"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(idxDir)
+    spark.read.parquet(idxDir).filter($"cluster".isin(clusters: _*))
   }
 
   val oracle: Map[String, String] = Map(

@@ -178,6 +178,24 @@ class SynthWebSpec extends AnyFunSuite {
       case other => fail(s"$other")
     }
   }
+  test("charset: ISO-8859-1 pages decode via the declared charset like response.text()") {
+    val cfg = SynthWeb.WebConfig(nHosts = 2, pagesPerHost = 10, imagesPerHost = 2)
+    val (bytesIso, csIso) = SynthWeb.pageWire(0, 4, cfg)   // page 4 -> ISO-8859-1
+    val (bytesUtf, csUtf) = SynthWeb.pageWire(0, 3, cfg)   // page 3 -> UTF-8
+    assert(csIso == "ISO-8859-1" && csUtf == "UTF-8")
+    val decoded = SynthWeb.decodeBody(bytesIso, csIso)
+    assert(decoded.contains("à la café"))
+    // the accented bytes genuinely differ between the two encodings:
+    // decoding ISO bytes as UTF-8 would mangle them
+    assert(!new String(bytesIso, "UTF-8").contains("à la café"))
+    // fetch() returns the correctly decoded body either way
+    (SynthWeb.fetch(SynthWeb.pageUrl(0, 4), cfg), SynthWeb.fetch(SynthWeb.pageUrl(0, 3), cfg)) match {
+      case (SynthWeb.PageBody(a), SynthWeb.PageBody(b)) =>
+        assert(a.contains("à la café") && b.contains("à la café"))
+      case other => fail(s"$other")
+    }
+  }
+
   test("redirects: chains resolve to final bodies, loops drop after 10 hops") {
     val rcfg = SynthWeb.WebConfig(nHosts = 6, pagesPerHost = 30, imagesPerHost = 5,
       redirectFrac = 0.5)

@@ -14,10 +14,14 @@ class ConformanceSpec extends SparkTestBase {
   private def runBoth(cfg: SynthWeb.WebConfig, seeds: Seq[String], depthLimit: Int = 4,
                       bloom: Boolean = true): (Crawler, RefSim.SimResult) = {
     val sim = RefSim.run(seeds, cfg, depthLimit = depthLimit)
+    // admitPreLimitMinRows = 0 forces the skew pre-limit ON for every
+    // conformance case — its exactness (bit-identical admission) is
+    // part of what these tests prove; other specs crawl with the
+    // default adaptive threshold (pre-limit off at their sizes)
     val crawler = new Crawler(spark, CrawlConfig(
       web = cfg, seeds = seeds, lakeRoot = tmpDir("lake"),
       depthLimit = depthLimit, bloom = bloom,
-      fetchPartitions = 8, saltSlots = 2))
+      fetchPartitions = 8, saltSlots = 2, admitPreLimitMinRows = 0L))
     crawler.run()
     (crawler, sim)
   }

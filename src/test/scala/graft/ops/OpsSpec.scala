@@ -120,6 +120,21 @@ class OpsSpec extends SparkTestBase {
     assert(recall >= 0.8, s"recall=$recall (${(bruteC & ivfC).size}/${bruteC.size})")
   }
 
+  test("IVF partitioned probe equals the equi-join IVF for its query batch") {
+    val full = Similarity.ivfTopK(spark, embDir, k = 5, nCentroids = 12, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val part = Similarity.ivfPartitionedTopK(spark, embDir, k = 5,
+        nCentroids = 12, nProbe = 4, nQueries = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batchIds = part.map(_._1)
+    assert(batchIds.nonEmpty && batchIds.size <= 40)
+    // same centroids + same probe rule + same candidates => identical
+    // rows for the batch; only the I/O layout (inverted lists + pruned
+    // scan) differs
+    assert(part == full.filter(t => batchIds.contains(t._1)),
+      s"diff=${(part diff full).take(5)} / ${(full.filter(t => batchIds.contains(t._1)) diff part).take(5)}")
+  }
+
   test("cosine near-dup finds exactly the planted clusters at 0.9") {
     val res = Similarity.cosineNearDup(spark, embDir, minCosPct = 90)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -63,6 +63,23 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("partial_"), "no map-side combine:\n" + p)
   }
 
+  test("IVF inverted-list probe prunes partitions at the scan") {
+    val pruned = Similarity.ivfPrunedScan(spark, dir, nCentroids = 16, clusters = Seq(0, 1))
+    val p = plan(pruned)
+    assert(p.contains("PartitionFilters") && p.contains("cluster"), p)
+    // the filter must actually drop files, not just annotate the scan:
+    // the executed scan's numFiles metric counts only selected
+    // partitions (inputFiles would ignore the filter)
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    val filesRead = scan.metrics("numFiles").value
+    val allFiles = pruned.sparkSession.read
+      .parquet(scan.relation.location.rootPaths.head.toString).inputFiles.length
+    assert(filesRead < allFiles, s"pruned=$filesRead all=$allFiles")
+  }
+
   test("cosine near-dup plan has no cartesian product") {
     val p = plan(Similarity.cosineNearDup(spark, dir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
