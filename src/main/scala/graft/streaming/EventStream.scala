@@ -69,4 +69,16 @@ object EventStream {
     * streaming query over a bounded input must agree with the batch
     * aggregation over the same rows). */
   def windowedCountsBatch(events: DataFrame): DataFrame = windowedCounts(events)
+
+  /** Streaming exact dedup on event_id with watermark-bounded state —
+    * the continuous-ingest form of the pipeline's exact dedup (and of
+    * the crawler's URL-seen check): duplicates arriving within the
+    * watermark horizon are dropped, state for ids older than the
+    * watermark is evicted, so memory is bounded by the horizon rather
+    * than the stream's lifetime (the only shape that survives an
+    * unbounded 100 TB ingest). */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
 }

@@ -47,6 +47,28 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming dedup drops within-watermark duplicates, state bounded") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val streamDf = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStream.dedupStream(streamDf)
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    // duplicates within one batch and across batches (same event_id)
+    mem.addData((1L, ts(0), 10L, "click", 1.0), (1L, ts(0), 10L, "click", 1.0),
+      (2L, ts(1), 11L, "view", 2.0))
+    q.processAllAvailable()
+    mem.addData((2L, ts(2), 11L, "view", 2.0), (3L, ts(3), 12L, "click", 3.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val ids = spark.table("dedup_out").select($"event_id").as[Long].collect().sorted
+    assert(ids.sameElements(Array(1L, 2L, 3L)), ids.mkString(","))
+  }
+
   test("mapGroupsWithState sessionization accumulates per-user state") {
     val spark0 = spark
     import spark0.implicits._
