@@ -87,6 +87,36 @@ class OpsSpec extends SparkTestBase {
     assert(brute.nonEmpty, "test corpus should contain simhash near-dups")
   }
 
+  test("ngram jaccard df cap drops hot shingles from the join only (sizes keep them)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmpDir("hotdocs")
+    // one stop-shingle ("x y z") in EVERY doc; each pair (2k,2k+1) also
+    // shares 4 private shingles => 6 shingle-words of private overlap
+    def priv(k: Int, i: Int) = s"p${k}_$i"
+    val rows = (0 until 8).map { d =>
+      val k = d / 2
+      (d.toLong, s"x y z ${priv(k, 0)} ${priv(k, 1)} ${priv(k, 2)} ${priv(k, 3)} end$d", "en", "s0", 10L)
+    }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    // maxDf=2: the stop-shingle (df=8) is dropped from the join; each
+    // pair's private shingles (df=2) survive. In-test brute oracle with
+    // the SAME cap over word-3-grams:
+    def sh(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val all = rows.map(r => r._1 -> sh(r._2)).toMap
+    val df = all.values.flatten.groupBy(identity).map { case (s, o) => s -> o.size }
+    val expected = (for {
+      a <- all.keys; b <- all.keys if a < b
+      inter = (all(a) & all(b)).count(s => df(s) <= 2)
+      if inter >= 3
+    } yield (a, b, inter.toLong, (all(a).size + all(b).size - inter).toLong)).toSet
+    val res = Dedup.ngramJaccard(spark, dir, minInter = 3, maxDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(res == expected, s"missing=${expected -- res} extra=${res -- expected}")
+    assert(expected.nonEmpty, "cap corpus must still produce pairs")
+  }
+
   test("exact dedup counts identical normalized texts") {
     val spark0 = spark
     import spark0.implicits._
