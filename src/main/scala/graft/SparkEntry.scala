@@ -33,6 +33,9 @@ object SparkEntry {
     "q_substring_filter" -> (Relational.substringFilter _),
     "q_topk_per_group" -> (Relational.topkPerGroup _),
     "q_tumbling_window" -> (Relational.tumblingWindow _),
+    "q_asof_join" -> (Relational.asofJoin _),
+    "q_range_join" -> (Relational.rangeJoin _),
+    "q_rollup_agg" -> (Relational.rollupAgg _),
     // --- text analysis ---
     "q_token_count" -> (TextOps.tokenCount _),
     "q_quality" -> (TextOps.qualityScore _),
@@ -45,6 +48,7 @@ object SparkEntry {
     "q_simhash_neardup" -> ((s: SparkSession, d: String) => Dedup.simhashNearDup(s, d)),
     // --- similarity search ---
     "q_ann_bruteforce" -> ((s: SparkSession, d: String) => Similarity.bruteTopK(s, d)),
+    "q_cosine_exact" -> ((s: SparkSession, d: String) => Similarity.cosineExact(s, d)),
     "q_cosine_neardup" -> ((s: SparkSession, d: String) => Similarity.cosineNearDup(s, d)),
     "q_lsh_ann" -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
     "q_ivf_ann" -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
@@ -63,7 +67,8 @@ object SparkEntry {
       val lake = java.nio.file.Files.createTempDirectory("graft_smoke").toString
       val cfg = CrawlConfig(
         web = SynthWeb.WebConfig(nHosts = 2, pagesPerHost = 8, imagesPerHost = 4),
-        seeds = SynthWeb.seeds(1), lakeRoot = lake, fetchPartitions = 8, saltSlots = 2)
+        seeds = SynthWeb.seeds(1), lakeRoot = lake, fetchPartitions = 8, saltSlots = 2,
+        seenBuckets = 8) // 2-host smoke: 32 bucket files/wave is pure fixed cost
       val crawler = new Crawler(s, cfg)
       crawler.run()
       crawler.seenT.readAll().select("kind", "url", "depth")
@@ -71,8 +76,29 @@ object SparkEntry {
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for hash-based/approximate/crawl
-    * operators (rows-only check; exact verification in ScalaTest). */
+    * the same parquet tables. Oracles containing `{AUX}` additionally
+    * read the deterministic signature/key dumps of [[oracleAux]] (path
+    * substituted by Verify) — that makes the hash-based operators'
+    * banding + verify stages oracle-checkable too. Remaining omissions
+    * (rows-only check; exact verification in ScalaTest): the two real
+    * binary decoders (image/audio features) and the crawl loop. */
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ TextOps.oracle ++ Dedup.oracle ++ Similarity.oracle
+    Relational.oracle ++ TextOps.oracle ++ Dedup.oracle ++ Similarity.oracle ++
+      Multimodal.oracle
+
+  /** Deterministic intermediate dumps for the `{AUX}` oracles: name ->
+    * builder of the signature/band-key DataFrame the oracle SQL
+    * replays. Verify writes each to `<outDir>/aux/<name>` (parquet) and
+    * substitutes `{AUX}` with that aux root before dumping
+    * oracle_sql.json. */
+  def oracleAux: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "simhash_sigs" -> ((s, d) => Dedup.simhashDf(s, d)),
+    "minhash_bands" -> ((s, d) => Dedup.minhashBands(s, d)),
+    "neardup_bands" -> ((s, d) => Similarity.nearDupBands(s, d)),
+    "lsh_bands" -> ((s, d) => Similarity.lshBandsAux(s, d)),
+    "ivf_assign" -> ((s, d) => Similarity.ivfAssignAux(s, d)),
+    "ivf_probes" -> ((s, d) => Similarity.ivfProbesAux(s, d)),
+    "ivf_batch_probes" -> ((s, d) => Similarity.ivfBatchProbesAux(s, d)),
+    "phash_sigs" -> ((s, _) => Multimodal.syntheticImages(s, 64).select("image_id", "phash"))
+  )
 }

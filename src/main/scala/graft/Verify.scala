@@ -22,6 +22,16 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // deterministic signature/band-key dumps the {AUX} oracles replay.
+    // Absolute: the driver may run DuckDB from a different cwd.
+    val auxRoot = new java.io.File(outDir, "aux").getAbsolutePath
+    SparkEntry.oracleAux.foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$auxRoot/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] aux $name failed: ${e.getMessage}")
+      }
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -35,7 +45,8 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{AUX}", auxRoot))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -57,6 +57,94 @@ object Canon {
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') ||
       c == '-' || c == '.' || c == '_'
 
+  /** RFC 5952 / WHATWG canonical form of an IPv6 host (the url crate's
+    * serializer): lowercase hex, no leading zeros, the longest run of
+    * >= 2 zero groups (leftmost on ties) compressed to `::`, trailing
+    * dotted-quad (e.g. `::ffff:192.168.0.1`) expanded to hex groups.
+    * None = invalid literal (url crate InvalidIpv6Address). */
+  private[core] def normalizeIpv6(lit: String): Option[String] = {
+    if (lit.isEmpty) return None
+    val dc = lit.indexOf("::")
+    if (dc >= 0 && lit.indexOf("::", dc + 1) >= 0) return None // one '::' max
+    def parseGroups(part: String, allowV4: Boolean): Option[Vector[Int]] = {
+      if (part.isEmpty) return Some(Vector.empty)
+      val toks = part.split(":", -1).toVector
+      if (toks.exists(_.isEmpty)) return None // stray ':' (only '::' may elide)
+      val (hexToks, v4Toks) =
+        if (allowV4 && toks.last.contains('.')) (toks.init, Some(toks.last))
+        else (toks, None)
+      val hex = hexToks.map { t =>
+        if (t.length < 1 || t.length > 4 || !t.forall(c => Character.digit(c, 16) >= 0))
+          return None
+        Integer.parseInt(t, 16)
+      }
+      val v4 = v4Toks.map { q =>
+        val bs = q.split("\\.", -1)
+        if (bs.length != 4) return None
+        val ints = bs.map { b =>
+          if (b.isEmpty || b.length > 3 || !b.forall(_.isDigit)) return None
+          val v = b.toInt
+          if (v > 255 || (b.length > 1 && b.startsWith("0"))) return None
+          v
+        }
+        Vector(ints(0) * 256 + ints(1), ints(2) * 256 + ints(3))
+      }
+      Some(hex ++ v4.getOrElse(Vector.empty))
+    }
+    val groups: Vector[Int] =
+      if (dc < 0) parseGroups(lit, allowV4 = true) match {
+        case Some(g) if g.length == 8 => g
+        case _                        => return None
+      }
+      else {
+        val (left, right) = (lit.substring(0, dc), lit.substring(dc + 2))
+        (parseGroups(left, allowV4 = false), parseGroups(right, allowV4 = true)) match {
+          case (Some(l), Some(r)) if l.length + r.length <= 7 =>
+            l ++ Vector.fill(8 - l.length - r.length)(0) ++ r
+          case _ => return None
+        }
+      }
+    // longest zero run (>= 2, leftmost) -> '::'
+    var bestStart = -1; var bestLen = 0
+    var i = 0
+    while (i < 8) {
+      if (groups(i) == 0) {
+        var j = i
+        while (j < 8 && groups(j) == 0) j += 1
+        if (j - i > bestLen) { bestStart = i; bestLen = j - i }
+        i = j
+      } else i += 1
+    }
+    def hexs(g: Seq[Int]) = g.map(Integer.toHexString).mkString(":")
+    Some(
+      if (bestLen < 2) hexs(groups)
+      else {
+        val head = hexs(groups.take(bestStart))
+        val tail = hexs(groups.drop(bestStart + bestLen))
+        head + "::" + tail
+      })
+  }
+
+  /** Host canonicalization beyond ASCII reg-names (round-3 widening,
+    * guarded by CanonWideningSpec; the synthetic space emits only ASCII
+    * reg-names, so conformance is untouched): bracketed IPv6 literals
+    * get the RFC 5952 canonical form; non-ASCII (IDN) hosts map to
+    * punycode via java.net.IDN (IDNA2003 — an approximation of the url
+    * crate's UTS-46, exact on the common cases the tests pin). */
+  private def canonicalizeHost(hostRaw: String): Option[String] = {
+    if (hostRaw.startsWith("[") || hostRaw.endsWith("]")) {
+      if (!(hostRaw.length >= 3 && hostRaw.startsWith("[") && hostRaw.endsWith("]")))
+        return None
+      normalizeIpv6(hostRaw.substring(1, hostRaw.length - 1)).map("[" + _ + "]")
+    } else if (hostRaw.exists(_ >= 0x80)) {
+      try {
+        val ascii = java.net.IDN.toASCII(hostRaw).toLowerCase
+        if (ascii.nonEmpty && ascii.forall(isHostChar)) Some(ascii) else None
+      } catch { case _: IllegalArgumentException => None }
+    } else if (hostRaw.forall(isHostChar)) Some(hostRaw.toLowerCase)
+    else None // InvalidDomainCharacter
+  }
+
   /** Minimal percent-encode of chars that WHATWG encodes in paths and that
     * our synthetic space can emit (space + control + a few specials). */
   private def encodePathChar(c: Char, sb: StringBuilder): Unit = c match {
@@ -130,16 +218,25 @@ object Canon {
     // userinfo (synthetic space never emits it, but strip defensively)
     val auth = authority.substring(authority.indexOf('@') + 1)
     if (auth.isEmpty) return Malformed // EmptyHost
-    val colonIdx = auth.lastIndexOf(':')
+    // bracket-aware split: an IPv6 literal's colons are not the port's
     val (hostRaw, portRaw) =
-      if (colonIdx >= 0 && auth.drop(colonIdx + 1).forall(_.isDigit) && colonIdx != auth.length - 1)
-        (auth.substring(0, colonIdx), auth.substring(colonIdx + 1))
-      else if (colonIdx >= 0 && colonIdx == auth.length - 1) (auth.substring(0, colonIdx), "")
-      else if (colonIdx >= 0) return Malformed // non-numeric port
-      else (auth, "")
+      if (auth.startsWith("[")) {
+        val close = auth.indexOf(']')
+        if (close < 0) return Malformed
+        val afterHost = auth.substring(close + 1)
+        if (afterHost.isEmpty) (auth, "")
+        else if (afterHost.startsWith(":")) (auth.substring(0, close + 1), afterHost.substring(1))
+        else return Malformed
+      } else {
+        val colonIdx = auth.lastIndexOf(':')
+        if (colonIdx >= 0 && auth.drop(colonIdx + 1).forall(_.isDigit) && colonIdx != auth.length - 1)
+          (auth.substring(0, colonIdx), auth.substring(colonIdx + 1))
+        else if (colonIdx >= 0 && colonIdx == auth.length - 1) (auth.substring(0, colonIdx), "")
+        else if (colonIdx >= 0) return Malformed // non-numeric port
+        else (auth, "")
+      }
     if (hostRaw.isEmpty) return Malformed
-    if (!hostRaw.forall(isHostChar)) return Malformed // InvalidDomainCharacter
-    val host = hostRaw.toLowerCase
+    val host = canonicalizeHost(hostRaw).getOrElse(return Malformed)
     val port =
       if (portRaw.isEmpty) -1
       else {

@@ -58,12 +58,22 @@ object PageKernel {
   */
 object RefSim {
 
+  /** Per-wave counters mirroring the engine's S6 metrics table rows
+    * (summed over host buckets): candidates = frontier size, admitted,
+    * page fetch outcomes, novel findings, duplicate references dropped
+    * by the wave-level candidate dedup (refs - 1 summed over novel),
+    * and images successfully written. */
+  final case class WaveStats(
+      candidates: Long, admitted: Long, fetchOk: Long, fetchErr: Long,
+      novel: Long, dupDropped: Long, imagesWritten: Long)
+
   final case class SimResult(
       frontiers: Vector[Vector[Finding]], // queue at the top of each wave, canonical order
       seen: Set[Finding],                 // final archive
       hostVisits: Map[String, Long],
       admissions: Vector[(Int, Finding)], // (wave, finding) in admission order
-      imageIds: Vector[String]            // successfully fetched image urls, admission order
+      imageIds: Vector[String],           // successfully fetched image urls, admission order
+      waveStats: Vector[WaveStats]
   )
 
   private val canonicalOrd: Ordering[Finding] =
@@ -89,6 +99,7 @@ object RefSim {
     val frontiers = Vector.newBuilder[Vector[Finding]]
     val admissions = Vector.newBuilder[(Int, Finding)]
     val imageIds = Vector.newBuilder[String]
+    val waveStats = Vector.newBuilder[WaveStats]
 
     var wave = 0
     while (queue.nonEmpty && wave < maxWaves) {
@@ -111,28 +122,48 @@ object RefSim {
 
       // --- spiders: pages, responses processed in canonical order ---
       val next = Vector.newBuilder[Finding]
+      var fetchOk = 0L
+      var fetchErr = 0L
+      var novelCount = 0L
+      var refsOnNovel = 0L // total per-page references to novel findings
+      val novelThisWave = mutable.HashSet.empty[Finding]
       // fetchFollowing: redirects followed like reqwest (<=10 hops);
       // the findings resolve against the REQUEST url f.url, not the
       // final url (src/main.rs:157,163-164)
       adm.iterator.filter(_.kind == Finding.Page).foreach { f =>
         SynthWeb.fetchFollowing(f.url, cfg) match {
           case SynthWeb.PageBody(html) =>
+            fetchOk += 1
             val findings = processPage(f.url, html, f.depth)
+            // wave-level metrics bookkeeping: a finding novel to the
+            // wave counts every page reference (engine: candidate
+            // groupBy refs), even from pages after the first
+            refsOnNovel += findings.count(fd =>
+              novelThisWave.contains(fd) || !archive.contains(fd))
             val novel = findings.filterNot(archive.contains)
+            novelThisWave ++= novel
+            novelCount += novel.size
             archive ++= novel
             if (f.depth < depthLimit) next ++= novel
-          case _ => () // warn + drop (src/main.rs:136)
+          case _ => fetchErr += 1 // warn + drop (src/main.rs:136)
         }
       }
 
       // --- fetchers: images ---
+      var imagesWritten = 0L
       adm.iterator.filter(_.kind == Finding.Image).foreach { f =>
         SynthWeb.fetchFollowing(f.url, cfg) match {
-          case _: SynthWeb.ImageBody => imageIds += f.url
+          case _: SynthWeb.ImageBody => imageIds += f.url; imagesWritten += 1
           case _                     => () // warn + drop (src/main.rs:143)
         }
       }
 
+      waveStats += WaveStats(
+        candidates = queue.size.toLong,
+        admitted = adm.size.toLong,
+        fetchOk = fetchOk, fetchErr = fetchErr,
+        novel = novelCount, dupDropped = refsOnNovel - novelCount,
+        imagesWritten = imagesWritten)
       queue = next.result().distinct.sorted(canonicalOrd)
       wave += 1
     }
@@ -142,7 +173,8 @@ object RefSim {
       archive.toSet,
       hostVisits.iterator.map { case (h, v) => (h, v.toLong) }.toMap,
       admissions.result(),
-      imageIds.result()
+      imageIds.result(),
+      waveStats.result()
     )
   }
 

@@ -67,9 +67,21 @@ object SynthWeb {
     else (html.getBytes(java.nio.charset.StandardCharsets.UTF_8), "UTF-8")
   }
 
-  /** response.text(): decode body bytes per the declared charset. */
-  def decodeBody(bytes: Array[Byte], charset: String): String =
-    new String(bytes, java.nio.charset.Charset.forName(charset))
+  /** response.text(): decode body bytes per the declared charset.
+    * reqwest resolves the label via encoding_rs (WHATWG): the labels
+    * "ISO-8859-1" / "latin1" / "ascii" all name windows-1252, which
+    * differs from Java's true ISO-8859-1 on bytes 0x80-0x9F — so the
+    * label is mapped before Charset lookup. (Java's Cp1252 decodes the
+    * five undefined slots 0x81/0x8D/0x8F/0x90/0x9D to the same C1
+    * controls encoding_rs emits.) */
+  def decodeBody(bytes: Array[Byte], charset: String): String = {
+    val resolved = charset.toLowerCase match {
+      case "iso-8859-1" | "iso8859-1" | "latin1" | "l1" | "ascii" | "us-ascii" =>
+        "windows-1252"
+      case other => other
+    }
+    new String(bytes, java.nio.charset.Charset.forName(resolved))
+  }
 
   /** Classify + serve a canonical URL. Fragment is ignored for fetching
     * (a GET of `u#x` retrieves `u`), like any HTTP client. */

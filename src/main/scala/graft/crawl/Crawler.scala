@@ -80,9 +80,10 @@ class Crawler(spark: SparkSession, cfg: CrawlConfig) extends Serializable {
   val runLog = new RunLog(cfg.lakeRoot)
 
   /** host without port from a canonical URL — stays in codegen
-    * (no UDF): scheme '://' then everything up to :, /, ?, #. */
+    * (no UDF): scheme '://' then a bracketed IPv6 literal or everything
+    * up to :, /, ?, # (mirrors Canon.hostOf on canonical urls). */
   private def hostCol(url: org.apache.spark.sql.Column) =
-    regexp_extract(url, "^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
+    regexp_extract(url, "^[a-z][a-z0-9+.-]*://(\\[[^\\]]*\\]|[^/:?#]+)", 1)
 
   /** Salted fetch-stage key: hot hosts spread over saltSlots sub-slots
     * while the admission window stays host-partitioned (SURVEY.md §4). */
@@ -275,11 +276,26 @@ class Crawler(spark: SparkSession, cfg: CrawlConfig) extends Serializable {
         timed(wave, "seen_commit")(seenT.commit(wave + 1, novel
           .select($"kind", $"url", $"depth", $"url_hash", lit(wave + 1).as("wave_added"))))
       }
-      val fBloom = Future {
-        if (cfg.bloom && novelCount > 0)
+      val fBloom =
+        if (!cfg.bloom || novelCount == 0) scala.concurrent.Future.unit
+        else if (!bloomState.wouldSaturate(novelCount)) Future {
           timed(wave, "bloom_merge")(
-            bloomState.add(novel, $"bucket", $"url_hash"))
-      }
+            bloomState.add(novel, $"bucket", $"url_hash", novelCount))
+        } else fSeen.map { _ =>
+          // capacity crossing: grow and REBUILD from the full committed
+          // seen set (one distributed aggregation, same shape as the
+          // per-wave merge) — runs after this wave's seen append so the
+          // rebuilt filters cover it. Without this, fixed-size filters
+          // saturate at the 10^10 design point and the pre-filter
+          // silently degrades to all-pass.
+          timed(wave, "bloom_rebuild") {
+            val total = seenT.rowCountThrough(wave + 1)
+            bloomState.growTo(total)
+            val all = seenT.readThrough(wave + 1)
+            bloomState.add(all,
+              bloomState.bucketCol($"kind", $"url", $"depth"), $"url_hash", total)
+          }
+        }
       // --- D2 depth gate -> frontier_{k+1}
       val fFrontier = Future {
         val nextFrontier = novel
@@ -426,8 +442,9 @@ class Crawler(spark: SparkSession, cfg: CrawlConfig) extends Serializable {
         // wave k+1 snapshot must not leak into wave k's re-run)
         val seenRows = seenT.rowCountThrough(k)
         if (cfg.bloom && seenRows > 0) {
+          if (bloomState.wouldSaturate(seenRows)) bloomState.growTo(seenRows)
           val s = seenT.readThrough(k)
-          bloomState.add(s, bloomState.bucketCol($"kind", $"url", $"depth"), $"url_hash")
+          bloomState.add(s, bloomState.bucketCol($"kind", $"url", $"depth"), $"url_hash", seenRows)
         }
         k
     }

@@ -57,6 +57,15 @@ object LakeTable {
 }
 
 object Lake {
+  /** TEST HOOK (WaveStressSpec): artificial latency injected at the top
+    * of every table commit, widening the pipelined commit windows so
+    * the wave-overlap machinery is exercised under adversarial timing.
+    * Always 0 outside tests. */
+  @volatile private[graft] var testCommitDelayMs: Long = 0L
+
+  private[lake] def testDelay(): Unit =
+    if (testCommitDelayMs > 0) Thread.sleep(testCommitDelayMs)
+
   /** List a directory's file names, CLOSING the stream (a bare
     * Files.list leaks one fd per call). */
   private[lake] def listNames(dir: Path): Vector[String] =
@@ -133,6 +142,7 @@ class LakeTable(spark: SparkSession, rootDir: String, name: String)
     * (metadata-only, no data scan). */
   def commit(wave: Int, df: DataFrame,
              writeOptions: Map[String, String] = Map.empty): SnapshotMeta = {
+    Lake.testDelay()
     val waveDir = dataDir.resolve(s"wave=$wave")
     df.write.mode("overwrite").options(writeOptions).parquet(waveDir.toString)
     if (!Lake.listNames(waveDir).exists(_.endsWith(".parquet"))) {
@@ -227,6 +237,7 @@ class BucketedLakeTable(
   /** Commit `df` (data columns + wave_added) as snapshot `wave`.
     * Idempotent: drops any torn partition for `wave` first. */
   def commit(wave: Int, df: DataFrame): SnapshotMeta = {
+    Lake.testDelay()
     ensureRegistered()
     val partDir = dataDir.resolve(s"wave_added=$wave")
     // torn-wave cleanup only when a previous attempt left data — the

@@ -102,15 +102,22 @@ object Dedup {
     * self-join on the bucket, verify candidates with exact Jaccard on
     * the shingle sets, keep pairs over the threshold (as intersection /
     * union integer counts). */
-  def minhashNearDup(spark: SparkSession, dir: String, minJaccardPct: Int = 50): DataFrame = {
+  /** (doc_id, band, bh) LSH bucket keys — shared by [[minhashNearDup]]
+    * and the aux oracle dump, so DuckDB replays exactly this banding. */
+  def minhashBands(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sig = minhashSignatures(spark, dir)
     val bandCols = (0 until Bands).map { b =>
       val cols = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
     }
-    val buckets = sig.select($"doc_id", explode(array(bandCols: _*)).as("bb"))
+    sig.select($"doc_id", explode(array(bandCols: _*)).as("bb"))
       .select($"doc_id", $"bb.band", $"bb.bh")
+  }
+
+  def minhashNearDup(spark: SparkSession, dir: String, minJaccardPct: Int = 50): DataFrame = {
+    import spark.implicits._
+    val buckets = minhashBands(spark, dir)
     val cands = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -197,14 +204,15 @@ object Dedup {
       """SELECT md5(lower(trim(text))) AS text_fp, min(doc_id) AS keep_id,
         |count(*) AS copies FROM documents GROUP BY 1""".stripMargin,
     "q_ngram_jaccard" ->
-      """WITH toks AS (
+      ("""WITH toks AS (
         |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
         |sh AS (
         |  SELECT DISTINCT doc_id, source,
         |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
         |  FROM (SELECT doc_id, source, w, unnest(generate_series(1, len(w) - 2)) AS i
         |        FROM toks WHERE len(w) >= 3)),
-        |df_ok AS (SELECT source, shingle FROM sh GROUP BY 1, 2 HAVING count(*) <= 1000),
+        |df_ok AS (SELECT source, shingle FROM sh GROUP BY 1, 2 HAVING count(*) <= """.stripMargin +
+      MaxShingleDf.toString + """),
         |shj AS (SELECT sh.* FROM sh JOIN df_ok USING (source, shingle)),
         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
         |inter AS (
@@ -214,6 +222,44 @@ object Dedup {
         |  GROUP BY 1, 2 HAVING count(*) >= 3)
         |SELECT i.a_id, i.b_id, i.inter, sa.n_sh + sb.n_sh - i.inter AS uni
         |FROM inter i JOIN sizes sa ON sa.doc_id = i.a_id
-        |JOIN sizes sb ON sb.doc_id = i.b_id""".stripMargin
+        |JOIN sizes sb ON sb.doc_id = i.b_id""".stripMargin),
+    // {AUX} oracles: the xxhash64-based signatures aren't expressible in
+    // SQL, but everything AFTER signature extraction is — Verify dumps
+    // the deterministic signature/band keys as parquet and DuckDB
+    // replays the banding + exact verify bit-for-bit (corpus-
+    // independent: the oracle checks what the engine emits, not an
+    // empirically-equal approximation).
+    "q_simhash_neardup" ->
+      """WITH sig AS (SELECT * FROM read_parquet('{AUX}/simhash_sigs/*.parquet')),
+        |b AS (
+        |  SELECT doc_id, simhash, c, (simhash >> (16 * c)) & 65535 AS ch
+        |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS c))
+        |SELECT DISTINCT a.doc_id AS a_id, b2.doc_id AS b_id,
+        |  CAST(bit_count(xor(a.simhash, b2.simhash)) AS INT) AS hamming
+        |FROM b a JOIN b b2 ON a.c = b2.c AND a.ch = b2.ch
+        |     AND a.doc_id < b2.doc_id
+        |WHERE bit_count(xor(a.simhash, b2.simhash)) <= 3""".stripMargin,
+    "q_minhash_neardup" ->
+      """WITH keys AS (SELECT * FROM read_parquet('{AUX}/minhash_bands/*.parquet')),
+        |cands AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM keys a JOIN keys b ON a.band = b.band AND a.bh = b.bh
+        |       AND a.doc_id < b.doc_id),
+        |toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+        |        FROM toks WHERE len(w) >= 3)),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT c.a_id, c.b_id, count(*) AS inter
+        |  FROM cands c JOIN sh a ON a.doc_id = c.a_id
+        |  JOIN sh b ON b.doc_id = c.b_id AND a.shingle = b.shingle
+        |  GROUP BY 1, 2)
+        |SELECT i.a_id, i.b_id, i.inter, sa.n_sh + sb.n_sh - i.inter AS uni
+        |FROM inter i JOIN sizes sa ON sa.doc_id = i.a_id
+        |JOIN sizes sb ON sb.doc_id = i.b_id
+        |WHERE i.inter * 100 >= (sa.n_sh + sb.n_sh - i.inter) * 50""".stripMargin
   )
 }

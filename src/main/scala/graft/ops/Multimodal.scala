@@ -117,6 +117,24 @@ object Multimodal {
       .filter($"hamming" <= maxHamming)
   }
 
+  /** {AUX} oracle for [[phashNearDup]]: the perceptual hash itself
+    * needs a real image decode (not SQL-expressible), but the banding +
+    * popcount verify after it is — Verify dumps the deterministic
+    * (image_id, phash) column and DuckDB replays chunk banding,
+    * xor + bit_count and the hamming filter bit-for-bit. */
+  val oracle: Map[String, String] = Map(
+    "q_phash_neardup" ->
+      """WITH sig AS (SELECT * FROM read_parquet('{AUX}/phash_sigs/*.parquet')),
+        |b AS (
+        |  SELECT image_id, phash, c, (phash >> (8 * c)) & 255 AS ch
+        |  FROM sig, (SELECT unnest(generate_series(0, 7)) AS c))
+        |SELECT DISTINCT a.image_id AS a_id, b2.image_id AS b_id,
+        |  CAST(bit_count(xor(a.phash, b2.phash)) AS INT) AS hamming
+        |FROM b a JOIN b b2 ON a.c = b2.c AND a.ch = b2.ch
+        |     AND a.image_id < b2.image_id
+        |WHERE bit_count(xor(a.phash, b2.phash)) <= 6""".stripMargin
+  )
+
   /** STUB — video frame sampling. No video codecs exist in this
     * container, so the "decode" is a deterministic fake: the binary
     * payload is treated as a concatenation of fixed-size frames and

@@ -104,6 +104,56 @@ object Relational {
       .select($"o_custkey", $"o_orderkey", $"rnk")
   }
 
+  /** As-of join — for each event, the most recent order of the same
+    * user at or before the event time (latest (o_orderdate, o_orderkey)
+    * wins ties). Spark-first shape: NOT an inequality join (quadratic
+    * per key at scale) — both streams union on the key and ONE window
+    * pass carries the latest order id forward (`last(..., ignoreNulls)`
+    * over rows-unbounded-preceding): a single shuffle on the key,
+    * linear state, the same shape a 100 TB event/dimension alignment
+    * needs. Orders sort before events at equal timestamps (tag), so
+    * "at or before" includes same-instant orders. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = t(spark, dir, "events")
+      .select($"user_id".as("key"), $"ts".as("t"), lit(1).as("tag"),
+        $"event_id", lit(null).cast("bigint").as("oid"))
+    val od = t(spark, dir, "orders")
+      .select($"o_custkey".as("key"), $"o_orderdate".as("t"), lit(0).as("tag"),
+        lit(null).cast("bigint").as("event_id"), $"o_orderkey".as("oid"))
+    val w = Window.partitionBy($"key").orderBy($"t", $"tag", $"oid")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.unionByName(od)
+      .withColumn("last_order", last($"oid", ignoreNulls = true).over(w))
+      .filter($"tag" === 1 && $"last_order".isNotNull)
+      .select($"event_id", $"key".as("user_id"), $"t".as("ts"), $"last_order")
+  }
+
+  /** Interval/range join — events in the 3 days following an order by
+    * the same user. The equality key (user) carries the one shuffle;
+    * the range predicate filters inside the joined partitions — never a
+    * cross join / BNLJ (PlanSpec-gated shape family). */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "orders").select($"o_orderkey", $"o_custkey", $"o_orderdate")
+      .join(t(spark, dir, "events").select($"user_id", $"ts"),
+        $"user_id" === $"o_custkey" &&
+          $"ts" >= $"o_orderdate" &&
+          $"ts" < $"o_orderdate" + expr("INTERVAL 3 DAYS"))
+      .groupBy($"o_orderkey")
+      .agg(count(lit(1)).as("n_events"))
+  }
+
+  /** Grouping sets (ROLLUP) — per (event_type, hour-of-day), per
+    * event_type, and grand-total counts in one pass (map-side partial
+    * aggregation covers all grouping sets). */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "events")
+      .rollup($"event_type", hour($"ts").cast("bigint").as("hod"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Per-wave metrics shape: tumbling hourly counts per event type. */
   def tumblingWindow(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -143,6 +193,23 @@ object Relational {
         |  FROM orders) WHERE rnk <= 3""".stripMargin,
     "q_tumbling_window" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_asof_join" ->
+      """SELECT event_id, user_id, ts, o_orderkey AS last_order FROM (
+        |  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e JOIN orders o
+        |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+        |WHERE rn = 1""".stripMargin,
+    "q_range_join" ->
+      """SELECT o_orderkey, count(*) AS n_events
+        |FROM orders JOIN events
+        |  ON user_id = o_custkey AND ts >= o_orderdate
+        |     AND ts < o_orderdate + INTERVAL 3 DAY
+        |GROUP BY o_orderkey""".stripMargin,
+    "q_rollup_agg" ->
+      """SELECT event_type, hour(ts) AS hod, count(*) AS n
+        |FROM events GROUP BY ROLLUP (event_type, hod)""".stripMargin
   )
 }

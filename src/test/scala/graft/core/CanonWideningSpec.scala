@@ -1,0 +1,95 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Round-3 Canon widening (VERDICT r2 next #8): IPv6 literals and IDN
+  * hosts, kept OUTSIDE the synthetic space (conformance untouched) and
+  * pinned here against the url crate's documented WHATWG behavior.
+  * Also pins the percent-escape contract: the url crate does NOT decode
+  * existing escapes — `%41` and `A` are distinct URLs — which Canon has
+  * always matched; the test makes that load-bearing.
+  */
+class CanonWideningSpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(60), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def parse(s: String): Option[Canon.Uri] = Canon.canonicalize(s)
+  private def render(s: String): String = parse(s).get.render
+
+  // ------------------------------------------------------------- IPv6
+
+  test("IPv6: canonical RFC 5952 compression like the url crate serializer") {
+    assert(render("http://[::1]/x") == "http://[::1]/x")
+    assert(render("http://[0:0:0:0:0:0:0:1]/x") == "http://[::1]/x")
+    assert(render("http://[2001:DB8:0:0:8:800:200C:417A]/") == "http://[2001:db8::8:800:200c:417a]/")
+    assert(render("http://[2001:db8::1:0:0:1]/") == "http://[2001:db8::1:0:0:1]/")
+    // leftmost of two equal zero runs compresses (RFC 5952 §4.2.3)
+    assert(render("http://[1:0:0:2:3:0:0:4]/") == "http://[1::2:3:0:0:4]/")
+    // a single zero group is NOT compressed
+    assert(render("http://[1:2:3:4:0:6:7:8]/") == "http://[1:2:3:4:0:6:7:8]/")
+    assert(render("http://[0:0:0:0:0:0:0:0]/") == "http://[::]/")
+  }
+
+  test("IPv6: trailing dotted quad expands to hex groups (WHATWG serializer)") {
+    assert(render("http://[::ffff:192.168.0.1]/") == "http://[::ffff:c0a8:1]/")
+    assert(render("http://[64:ff9b::255.255.255.255]/") == "http://[64:ff9b::ffff:ffff]/")
+  }
+
+  test("IPv6: ports split bracket-aware; default port still dropped") {
+    assert(render("http://[::1]:8080/x") == "http://[::1]:8080/x")
+    assert(render("http://[::1]:80/x") == "http://[::1]/x")
+    assert(render("HTTP://[::1]:80/x") == "http://[::1]/x")
+  }
+
+  test("IPv6: invalid literals are Malformed (url crate InvalidIpv6Address)") {
+    for (bad <- Seq("http://[:::1]/", "http://[1::2::3]/", "http://[12345::]/",
+        "http://[1:2:3]/", "http://[1:2:3:4:5:6:7:8:9]/", "http://[::1/",
+        "http://[]/", "http://[::1]x/", "http://[gg::1]/",
+        "http://[::ffff:192.168.0.256]/", "http://[::ffff:192.168.0]/"))
+      assert(parse(bad).isEmpty, s"expected Malformed: $bad")
+  }
+
+  test("IPv6: parse∘render is a fixpoint (property)") {
+    val addr = Gen.listOfN(8, Gen.chooseNum(0, 0xffff))
+    check(Prop.forAll(addr) { gs =>
+      val lit = gs.map(Integer.toHexString).mkString(":")
+      val u = parse(s"http://[$lit]:9/p").get
+      parse(u.render).contains(u)
+    })
+  }
+
+  // -------------------------------------------------------------- IDN
+
+  test("IDN hosts map to lowercase punycode") {
+    assert(render("http://bücher.example/x") == "http://xn--bcher-kva.example/x")
+    assert(render("http://BÜCHER.example/x") == "http://xn--bcher-kva.example/x")
+    assert(render("http://例え.テスト/") == "http://xn--r8jz45g.xn--zckzah/")
+    // already-punycode stays as-is
+    assert(render("http://xn--bcher-kva.example/x") == "http://xn--bcher-kva.example/x")
+  }
+
+  test("ASCII reg-name behavior is unchanged by the widening (property)") {
+    val label = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString.toLowerCase)
+    check(Prop.forAll(label, Gen.chooseNum(1, 65535)) { (l, port) =>
+      val u = parse(s"http://$l.test:$port/a/b").get
+      u.host == s"$l.test" && u.port == (if (port == 80) -1 else port)
+    })
+  }
+
+  // -------------------------------------- percent-escape contract
+
+  test("percent escapes are NOT decoded: %41 and A are distinct findings") {
+    val enc = parse("http://h0.test/p%41").get
+    val raw = parse("http://h0.test/pA").get
+    assert(enc != raw)
+    assert(enc.render == "http://h0.test/p%41")
+    assert(raw.render == "http://h0.test/pA")
+    // and the escape survives a resolve round-trip
+    val origin = parse("http://h0.test/").get.origin
+    assert(Canon.resolveLink("p%41", origin).map(_.render).contains("http://h0.test/p%41"))
+  }
+}

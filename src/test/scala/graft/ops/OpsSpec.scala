@@ -187,6 +187,23 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("cosine near-dup LSH equals the exact kernel on the driver's sf0.001 corpus") {
+    // ADVICE r2 (medium): the LSH banding's completeness must not rest
+    // on one lucky corpus draw. This gate re-checks equality against
+    // the kernel-exact all-pairs on the ACTUAL driver testdata, so a
+    // regenerated corpus that exposes a banding miss fails CI here —
+    // before the driver's oracle ever sees it. (The DuckDB oracles are
+    // corpus-independent by construction since round 3: q_cosine_neardup
+    // replays its own banding, q_cosine_exact carries the all-pairs SQL.)
+    val dir = "/root/testdata/sf0.001"
+    val lsh = Similarity.cosineNearDup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.cosineExact(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact,
+      s"missing=${(exact -- lsh).take(5)} extra=${(lsh -- exact).take(5)}")
+  }
+
   // --------------------------------------------------------- multimodal
 
   test("image features: real decode round-trips dims, phash, luminance") {

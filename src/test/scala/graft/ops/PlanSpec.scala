@@ -126,7 +126,7 @@ class PlanSpec extends SparkTestBase {
     // fold the probe away at plan time and hide its physical shape
     val df = spark.range(100).select($"id".as("h"))
       .withColumn("bucket", pmod(hash($"h"), lit(4)))
-    pb.add(df, $"bucket", $"h")
+    pb.add(df, $"bucket", $"h", 100L)
     val probed = df.filter(pb.probeCol(spark, $"bucket", $"h"))
     val p = plan(probed)
     assert(p.contains("bloom_probe"), p)
