@@ -172,6 +172,15 @@ object Bench {
       spark.stop()
     }
 
+    // iteration escape hatch: print the sweep and stop (the pinned
+    // scaling pairs take ~25 min and don't change with query tuning)
+    if (sys.env.contains("SPARK_GRAFT_QUERIES_ONLY")) {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"total","value":${f"$queriesTotal%.4f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      return
+    }
+
     // ---- part 2: N vs 4N scaling evidence (see object scaladoc).
     // Each crawl run is BRACKETED by spin probes of its core set: the
     // hypervisor's deliverable capacity drifts minute to minute, so the

@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.GraftSqlBridge
+
+/** Codegen dot product of two float-array columns, accumulated
+  * SEQUENTIALLY in double — bit-identical to the
+  * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` fold it replaces and to
+  * DuckDB's `list_dot_product` (the oracle contract), but inside
+  * whole-stage codegen: Spark's higher-order function expressions are
+  * INTERPRETED per row (measured: the similarity queries' dominant
+  * cost), while this emits a tight primitive loop with no per-element
+  * boxing and no lambda dispatch.
+  *
+  * Null semantics match the fold: null array -> null result; elements
+  * are assumed non-null (the embeddings tables never carry null
+  * elements — a null element would have made the fold null anyway).
+  */
+case class FloatDot(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "float_dot"
+}
+
+object FloatDot {
+  /** Column API: `float_dot(a, b)` — the codegen fold. */
+  def apply(a: Column, b: Column): Column =
+    GraftSqlBridge.column(FloatDot(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+}

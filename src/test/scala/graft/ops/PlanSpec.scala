@@ -49,6 +49,46 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("similarity scoring uses the codegen float_dot, not interpreted higher-order folds") {
+    val p = plan(Similarity.ivfTopK(spark, dir))
+    assert(p.contains("float_dot"), "FloatDot expression missing from the plan:\n" + p)
+    // the interpreted higher-order shapes it replaced must not come back
+    assert(!p.contains("aggregate(zip_with") && !p.contains("lambdafunction"),
+      "interpreted higher-order fold back in the scoring path:\n" + p)
+    // codegen probe (AQE hides codegen markers pre-execution in the big
+    // plan): a float_dot filter must land inside a codegen'd stage
+    import org.apache.spark.sql.functions._
+    val micro = spark.range(100)
+      .select(org.apache.spark.sql.functions.array(
+        col("id").cast("float"), lit(2f)).as("a"))
+    val mp = plan(micro.filter(graft.functions.FloatDot(col("a"), col("a")) > 1.0))
+    assert("\\* Filter".r.findFirstIn(mp).isDefined && mp.contains("[codegen id"),
+      "float_dot filter not codegen'd:\n" + mp)
+  }
+
+  test("as-of join is one key shuffle + window, never an inequality join") {
+    val p = plan(Relational.asofJoin(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "as-of fell back to an inequality join:\n" + p)
+    // union + window: exactly one exchange on the key
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly 1 shuffle, got $exchanges:\n" + p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("range join rides the user equi-key; the interval is a join-side filter") {
+    val p = plan(Relational.rangeJoin(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "range join fell back to an all-pairs join:\n" + p)
+    assert(p.contains("Join") || p.contains("HashJoin"), p)
+  }
+
+  test("rollup computes all grouping sets with map-side partial aggregation") {
+    val p = plan(Relational.rollupAgg(spark, dir))
+    assert(p.contains("Expand"), p) // grouping-set expansion, one pass
+    assert(p.contains("partial_"), "no map-side combine:\n" + p)
+  }
+
   test("token count runs scan->project with no shuffle at all") {
     val p = plan(TextOps.tokenCount(spark, dir))
     assert(!p.contains("Exchange"), "unexpected shuffle:\n" + p)
