@@ -38,6 +38,7 @@ object SparkEntry {
     "q_rollup_agg" -> (Relational.rollupAgg _),
     // --- text analysis ---
     "q_token_count" -> (TextOps.tokenCount _),
+    "q_bpe_token_count" -> (TextOps.bpeTokenCount _),
     "q_quality" -> (TextOps.qualityScore _),
     "q_lang_id" -> (TextOps.langId _),
     "q_fingerprint" -> (TextOps.fingerprint _),

@@ -421,17 +421,32 @@ object Similarity {
     }).toDF("vec_id", "cluster")
   }
 
-  /** Per-JVM cache of materialized inverted-list indexes, keyed by
-    * (corpus dir, nCentroids): the production shape is a maintained
-    * lake table rebuilt on corpus snapshot change — here the snapshot
-    * key is the immutable input dir. Built once, reused by every probe
-    * in the session, deleted on JVM exit (r2 leaked one temp copy per
+  /** Per-JVM cache of materialized inverted-list indexes — the
+    * production shape is a maintained lake table rebuilt on corpus
+    * snapshot change. The cache key is the corpus SNAPSHOT (file
+    * names + sizes + mtimes of the embeddings parquet), not just the
+    * path, so a regenerated corpus at the same path rebuilds instead
+    * of serving a stale index. Built once, reused by every probe in
+    * the session, deleted on JVM exit (r2 leaked one temp copy per
     * call). */
   private val ivfIndexCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
 
+  private def corpusSnapshotKey(dir: String): String = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(s"$dir/embeddings.parquet")
+    val files =
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).iterator().asScala.toVector.sortBy(_.toString)
+      else Vector(p)
+    dir + "|" + files.map { f =>
+      s"${f.getFileName}:${java.nio.file.Files.size(f)}:" +
+        java.nio.file.Files.getLastModifiedTime(f).toMillis
+    }.mkString(",").hashCode
+  }
+
   private def ivfIndexDir(spark: SparkSession, dir: String, nCentroids: Int): String =
-    ivfIndexCache.computeIfAbsent((dir, nCentroids), { _ =>
+    ivfIndexCache.computeIfAbsent((corpusSnapshotKey(dir), nCentroids), { _ =>
       val cB = spark.sparkContext.broadcast(coarseCentroids(emb(spark, dir), nCentroids))
       val idxDir = java.nio.file.Files.createTempDirectory("ivf_index")
       ivfAssigned(spark, dir, cB)

@@ -30,6 +30,25 @@ object TextOps {
       size(split(trim($"text"), "\\s+")).cast("bigint").as("n_tokens"))
   }
 
+  /** GPT-2-style BPE pretokenizer pattern, simplified to the subset
+    * where Java regex (Spark) and RE2 (DuckDB) agree exactly: word /
+    * number / punctuation-run pieces, each optionally absorbing one
+    * leading space, then whitespace runs. (The real GPT-2 pattern's
+    * `\s+(?!\S)` lookahead is unsupported by RE2, and its contraction
+    * alternates don't occur in the synthetic corpus.) */
+  val BpePattern = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+
+  /** BPE-ish token count: pieces per the pretokenizer regex — the
+    * "how many tokens will the tokenizer see" estimate a training
+    * pipeline budgets with, as one codegen'd regexp_extract_all. */
+  def bpeTokenCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir).select(
+      $"doc_id",
+      size(regexp_extract_all($"text", lit(BpePattern), lit(0)))
+        .cast("bigint").as("n_bpe"))
+  }
+
   /** Quality scoring: integer component counts + a categorical label,
     * deterministic and oracle-checkable. */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
@@ -107,6 +126,10 @@ object TextOps {
          |FROM documents""".stripMargin
     },
     "q_fingerprint" ->
-      "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents"
+      "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents",
+    "q_bpe_token_count" ->
+      s"""SELECT doc_id, CAST(len(regexp_extract_all(text,
+         |' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+')) AS BIGINT) AS n_bpe
+         |FROM documents""".stripMargin
   )
 }

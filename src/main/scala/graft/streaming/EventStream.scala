@@ -70,6 +70,40 @@ object EventStream {
     * aggregation over the same rows). */
   def windowedCountsBatch(events: DataFrame): DataFrame = windowedCounts(events)
 
+  /** Stream-static enrichment: broadcast dimension join inside a
+    * stream — the budget/robots-table shape under continuous ingest.
+    * The static side is re-resolved per micro-batch, so a slowly-
+    * maintained dimension table (user tiers here) stays current without
+    * restarting the query; the join itself is stateless (no watermark
+    * needed), the scale path for 100 TB/day enrichment. */
+  def enriched(events: DataFrame, userDim: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events.join(broadcast(userDim), Seq("user_id"), "left")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"tier")
+  }
+
+  /** Stream-stream interval join with watermarks: view -> purchase
+    * conversions per user within 30 event-time minutes. Both sides
+    * carry watermarks and the join condition bounds the time range, so
+    * each side's buffered state is evicted once the other side's
+    * watermark passes the range — bounded memory on unbounded ingest
+    * (an unbounded-range stream-stream join would hoard state forever).
+    */
+  def conversionJoin(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val views = events.filter($"event_type" === "view")
+      .select($"user_id".as("v_user"), $"ts".as("view_ts"), $"event_id".as("view_id"))
+      .withWatermark("view_ts", "10 minutes")
+    val buys = events.filter($"event_type" === "purchase")
+      .select($"user_id".as("b_user"), $"ts".as("buy_ts"), $"event_id".as("buy_id"))
+      .withWatermark("buy_ts", "10 minutes")
+    views.join(buys,
+        $"v_user" === $"b_user" &&
+          $"buy_ts" >= $"view_ts" &&
+          $"buy_ts" <= $"view_ts" + expr("INTERVAL 30 MINUTES"))
+      .select($"v_user".as("user_id"), $"view_id", $"buy_id", $"view_ts", $"buy_ts")
+  }
+
   /** Streaming exact dedup on event_id with watermark-bounded state —
     * the continuous-ingest form of the pipeline's exact dedup (and of
     * the crawler's URL-seen check): duplicates arriving within the
