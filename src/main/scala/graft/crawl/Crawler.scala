@@ -33,6 +33,14 @@ final case class CrawlConfig(
     saltSlots: Int = 8,           // sub-slots one hot host spreads over
     robots: Boolean = false,      // engine extension: robots.txt cache table
     perWaveHostQuota: Option[Int] = None, // engine extension: token bucket
+    // broadcast the budget only while it's small: at 10^7+ hosts the
+    // per-wave broadcast (hundreds of MB, deserialized on every
+    // executor) and the repartition(1) budget rewrite both become the
+    // wave's fixed cost. Above this row count the budget joins as a
+    // plain shuffled join (the admission window shuffles by host
+    // anyway, so the extra exchange is only the budget's own) and the
+    // rewrite spreads over seenBuckets host-hashed files.
+    budgetBroadcastMaxRows: Long = 4L * 1000 * 1000,
     maxWaves: Int = 100
 )
 
@@ -145,9 +153,12 @@ class Crawler(spark: SparkSession, cfg: CrawlConfig) extends Serializable {
     // row_number per host in canonical (kind,url,depth) order — the
     // fixed linearization shared with RefSim (SURVEY.md §3.4); broadcast
     // the budget (bounded by #hosts, tiny next to the frontier).
+    // adaptive dim-join strategy (see CrawlConfig.budgetBroadcastMaxRows)
+    val budgetRows = budgetT.snapshot(wave).map(_.totalRows).getOrElse(0L)
+    val smallBudget = budgetRows <= cfg.budgetBroadcastMaxRows
     val base = afterRobots
       .filter($"host" =!= "")                              // P2 null-host drop
-      .join(broadcast(budget), Seq("host"), "left")
+      .join(if (smallBudget) broadcast(budget) else budget, Seq("host"), "left")
       .na.fill(0L, Seq("visits"))
     // Budget-aware PRE-LIMIT (SURVEY.md §7 hard part 5): a hot host's
     // candidates would otherwise all land in ONE window partition (the
@@ -190,8 +201,12 @@ class Crawler(spark: SparkSession, cfg: CrawlConfig) extends Serializable {
           admitted.groupBy($"host").agg(count(lit(1)).as("visits")))
         .groupBy($"host").agg(sum($"visits").as("visits"))
       // repartition(1), NOT coalesce(1): coalesce propagates up and would
-      // run the whole aggregation single-task at any core count
-      timed(wave, "budget_commit")(budgetT.commit(wave + 1, newBudget.repartition(1)))
+      // run the whole aggregation single-task at any core count; a big
+      // (10^7-host) budget instead spreads over host-hashed files
+      val out =
+        if (smallBudget) newBudget.repartition(1)
+        else newBudget.repartition(cfg.seenBuckets, $"host")
+      timed(wave, "budget_commit")(budgetT.commit(wave + 1, out))
     }
 
     // ====================== pages chain ======================
@@ -418,8 +433,14 @@ class Crawler(spark: SparkSession, cfg: CrawlConfig) extends Serializable {
       .toDF("host", "disallow")
     robotsT.commit(wave + 1, fetched.repartition(1))
     val allRules = robotsT.readAll()
+    // same adaptive dim-join rule as the budget: per-host rules stop
+    // broadcasting once the host space outgrows the threshold
+    val rulesJoin =
+      if (robotsT.rowCountThrough(Int.MaxValue) <= cfg.budgetBroadcastMaxRows)
+        broadcast(allRules)
+      else allRules
     val pathCol = regexp_replace($"url", "^[a-z][a-z0-9+.-]*://[^/]*", "")
-    val joined = frontier.join(broadcast(allRules), Seq("host"), "left")
+    val joined = frontier.join(rulesJoin, Seq("host"), "left")
       .withColumn("path", pathCol)
       .withColumn("blocked",
         coalesce(exists($"disallow", p => startswith($"path", p)), lit(false)))

@@ -154,6 +154,32 @@ object Relational {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Running total per user in event order — the cumulative-budget
+    * shape (A2's continuous analog). Summed in INTEGER cents
+    * (floor(value*100)): DuckDB evaluates windowed sums with a segment
+    * tree, so a double running sum differs from Spark's in the last
+    * ulp — integer accumulation is association-free and the oracle is
+    * exact. */
+  def runningTotal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "events")
+      .select($"event_id", $"user_id", $"ts",
+        sum(floor($"value" * 100).cast("bigint")).over(w).as("running_cents"))
+  }
+
+  /** lead/lag — previous and next event type per user in event order
+    * (the transition-analysis shape). */
+  def leadLag(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    t(spark, dir, "events")
+      .select($"event_id", $"user_id", $"event_type",
+        lag($"event_type", 1).over(w).as("prev_type"),
+        lead($"event_type", 1).over(w).as("next_type"))
+  }
+
   /** Per-wave metrics shape: tumbling hourly counts per event type. */
   def tumblingWindow(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -210,6 +236,17 @@ object Relational {
         |GROUP BY o_orderkey""".stripMargin,
     "q_rollup_agg" ->
       """SELECT event_type, hour(ts) AS hod, count(*) AS n
-        |FROM events GROUP BY ROLLUP (event_type, hod)""".stripMargin
+        |FROM events GROUP BY ROLLUP (event_type, hod)""".stripMargin,
+    "q_running_total" ->
+      """SELECT event_id, user_id, ts,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT))
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+        |FROM events""".stripMargin,
+    "q_lead_lag" ->
+      """SELECT event_id, user_id, event_type,
+        |  lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+        |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |FROM events""".stripMargin
   )
 }

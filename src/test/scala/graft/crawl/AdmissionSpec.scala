@@ -53,4 +53,29 @@ class AdmissionSpec extends SparkTestBase {
     assert(withPre == without, s"pre-limit changed admission: ${(withPre diff without).take(3)}")
     assert(withPre.count(_.apply(3) == "hot.test") == visitLimit + 1 - 128)
   }
+
+  test("shuffled (non-broadcast) budget join path conforms to RefSim") {
+    // budgetBroadcastMaxRows = 0 forces the 10^7-host strategy (plain
+    // shuffled dim join + host-hashed budget rewrite) on a small crawl;
+    // the admitted/seen results must be bit-identical to the broadcast
+    // path (i.e. to RefSim)
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.core.{Finding, RefSim, SynthWeb}
+    val web = SynthWeb.WebConfig(nHosts = 6, pagesPerHost = 25, imagesPerHost = 8)
+    val seeds = SynthWeb.seeds(3)
+    val sim = RefSim.run(seeds, web)
+    val crawler = new Crawler(spark, CrawlConfig(
+      web = web, seeds = seeds, lakeRoot = tmpDir("shuffled_budget"),
+      fetchPartitions = 8, saltSlots = 2, budgetBroadcastMaxRows = 0L))
+    crawler.run()
+    val engineSeen = crawler.seenT.readAll()
+      .select($"kind", $"url", $"depth").as[(String, String, Int)]
+      .collect().map(t => Finding(t._1, t._2, t._3)).toSet
+    assert(engineSeen == sim.seen,
+      s"shuffled-budget path diverged: engine=${engineSeen.size} sim=${sim.seen.size}")
+    val lastWave = crawler.budgetT.latestWave.get
+    val visits = crawler.budgetT.readWave(lastWave).as[(String, Long)].collect().toMap
+    assert(visits == sim.hostVisits)
+  }
 }
