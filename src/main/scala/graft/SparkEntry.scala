@@ -64,6 +64,8 @@ object SparkEntry {
       Multimodal.phashNearDup(Multimodal.syntheticImages(s, 64))),
     "q_audio_features" -> ((s: SparkSession, _: String) =>
       Audio.audioFeatures(Audio.syntheticAudio(s, 64))),
+    "q_video_frames" -> ((s: SparkSession, _: String) =>
+      Multimodal.sampleFrames(Multimodal.syntheticVideos(s, 64))),
     // --- the crawl engine end-to-end (exactly verified vs RefSim in
     // ConformanceSpec; here a smoke slice for the driver) ---
     "q_crawl_smoke" -> ((s: SparkSession, _: String) => {

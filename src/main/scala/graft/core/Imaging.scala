@@ -82,6 +82,41 @@ object Imaging {
   def decode(bytes: Array[Byte]): BufferedImage =
     ImageIO.read(new ByteArrayInputStream(bytes))
 
+  /** Animated-GIF encode — the one MULTI-FRAME (video-like) container
+    * the JDK codes natively (MP4/H.264 would need external codecs this
+    * environment doesn't have). Frames share the GIF sequence; palette
+    * quantization applies, so consumers must featurize DECODED frames,
+    * never assume encode-exactness. */
+  def encodeGif(frames: Seq[BufferedImage]): Array[Byte] = {
+    require(frames.nonEmpty, "encodeGif: empty frame list")
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach { f =>
+      writer.writeToSequence(new IIOImage(f, null, null), writer.getDefaultWriteParam)
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
+  /** Decode ALL frames of a (possibly animated) GIF. */
+  def decodeGifFrames(bytes: Array[Byte]): Vector[BufferedImage] = {
+    val reader = ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      reader.setInput(iis, false, true)
+      val n = reader.getNumImages(true)
+      (0 until n).map(reader.read(_)).toVector
+    } finally {
+      reader.dispose()
+      iis.close()
+    }
+  }
+
   /** PSNR in dB between two same-size RGB images (per-channel MSE). */
   def psnr(a: BufferedImage, b: BufferedImage): Double = {
     require(a.getWidth == b.getWidth && a.getHeight == b.getHeight, "size mismatch")

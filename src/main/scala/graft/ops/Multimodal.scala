@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.{Imaging, SynthWeb, XxHash64}
+import graft.core.{Imaging, SynthWeb}
 
 /** Multimodal-column operators: image/audio/video as opaque `binary`
   * columns with typed metadata, processed with `mapPartitions` (the
@@ -11,10 +11,10 @@ import graft.core.{Imaging, SynthWeb, XxHash64}
   * per partition, rows streamed through it).
   *
   * Image decode / feature-extract / resize are REAL (javax.imageio is
-  * in the JDK). Audio/video decoding has no codec libs in this
-  * container, so those steps are deterministic STUBS — clearly marked —
-  * while the Spark-side schema, partitioning, and batch shape are real
-  * and tested.
+  * in the JDK), as is video frame sampling — over animated GIF, the
+  * one multi-frame container the JDK decodes without external codecs
+  * (see [[sampleFrames]]); WAV audio decode is real too (ops/Audio,
+  * javax.sound). Nothing here is stubbed since round 3.
   */
 object Multimodal {
 
@@ -135,25 +135,51 @@ object Multimodal {
         |WHERE bit_count(xor(a.phash, b2.phash)) <= 6""".stripMargin
   )
 
-  /** STUB — video frame sampling. No video codecs exist in this
-    * container, so the "decode" is a deterministic fake: the binary
-    * payload is treated as a concatenation of fixed-size frames and
-    * every `stride`-th slice is hashed as the sampled frame. The Spark
-    * plumbing (binary column in, exploded typed frames out, partition-
-    * local batch loop) is the real shape a codec-backed impl drops into. */
-  def sampleFrames(videos: DataFrame, frameBytes: Int = 256, stride: Int = 4): DataFrame = {
+  /** Deterministic in-plan "video" corpus: n animated GIFs (the one
+    * multi-frame container the JDK codes natively), each with
+    * `nFrames` synthetic frames derived from the same pixel generator
+    * as the image corpus. */
+  def syntheticVideos(spark: SparkSession, n: Int, nFrames: Int = 12): DataFrame = {
+    import spark.implicits._
+    spark.range(n.toLong)
+      .repartition(math.min(n, 32))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { i =>
+          val id = s"vid$i.gif"
+          val frames = (0 until nFrames).map(f =>
+            Imaging.synthPixels(s"$id/f$f", 48, 32))
+          (id, Imaging.encodeGif(frames), nFrames)
+        }
+      }
+      .toDF("video_id", "bytes", "n_frames")
+  }
+
+  /** Video frame sampling with REAL decode: every `stride`-th frame of
+    * the multi-frame payload is decoded and featurized (dims + aHash)
+    * in a partition-local batch loop — one decoder context per
+    * partition, rows streamed through it. The container is animated
+    * GIF because that is the only multi-frame format the JDK decodes
+    * without external codecs (an MP4 impl drops into the same
+    * plumbing: binary column in, exploded typed frame rows out).
+    * Features come from the DECODED frames (GIF palettizes; encode
+    * exactness is never assumed). Undecodable payloads are dropped,
+    * counted upstream in real pipelines. */
+  def sampleFrames(videos: DataFrame, stride: Int = 4): DataFrame = {
     val spark = videos.sparkSession
     import spark.implicits._
     videos.select($"video_id", $"bytes").as[(String, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
-          val nFrames = bytes.length / frameBytes
-          (0 until nFrames by stride).map { f =>
-            val slice = java.util.Arrays.copyOfRange(bytes, f * frameBytes, (f + 1) * frameBytes)
-            (id, f, XxHash64.hash(slice, 0L)) // ??? real impl: decode + feature-extract
-          }
+          try {
+            val frames = Imaging.decodeGifFrames(bytes)
+            (0 until frames.length by stride).iterator.map { f =>
+              val img = frames(f)
+              (id, f, img.getWidth, img.getHeight, Imaging.aHash(img))
+            }
+          } catch { case _: Exception => Iterator.empty }
         }
       }
-      .toDF("video_id", "frame_idx", "frame_sig")
+      .toDF("video_id", "frame_idx", "w", "h", "frame_phash")
   }
 }

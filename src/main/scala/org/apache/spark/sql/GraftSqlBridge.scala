@@ -16,4 +16,16 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Install a SQL function into a LIVE session's function registry —
+    * the runtime complement of SparkSessionExtensions.injectFunction
+    * (which only fires at session build). `sessionState` is
+    * `private[sql]`, hence this lives in the bridge. */
+  def registerFunction(
+      spark: SparkSession,
+      id: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession]
+      .sessionState.functionRegistry.registerFunction(id, info, builder)
 }

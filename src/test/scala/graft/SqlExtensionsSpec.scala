@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** The SQL surface of graft's codegen expressions: GraftExtensions
+  * injects them at session build (SparkSessionExtensions), and
+  * registerAll installs them into a live session — both paths share
+  * one builder list, so testing the live-registry route plus applying
+  * the extension object covers the wiring. */
+class SqlExtensionsSpec extends SparkTestBase {
+
+  test("float_dot is callable from SQL and matches the Column API bit-for-bit") {
+    val spark0 = spark
+    import spark0.implicits._
+    GraftExtensions.registerAll(spark)
+
+    val d = spark.sql(
+      """SELECT float_dot(array(CAST(1.5 AS FLOAT), CAST(2 AS FLOAT)),
+        |                 array(CAST(3 AS FLOAT), CAST(0.5 AS FLOAT))) AS d""".stripMargin)
+      .as[Double].head()
+    assert(d == 1.5 * 3 + 2 * 0.5)
+
+    val dir = "/root/testdata/sf0.001"
+    spark.read.parquet(s"$dir/embeddings.parquet").createOrReplaceTempView("emb_sql")
+    val viaSql = spark.sql(
+      "SELECT vec_id, float_dot(embedding, embedding) AS d FROM emb_sql")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaApi = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", graft.functions.FloatDot($"embedding", $"embedding").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaSql == viaApi)
+    assert(viaSql.nonEmpty && viaSql.values.forall(_ > 0.0))
+  }
+
+  test("the extension object injects the same builders without error") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext) // session-build path: same list wired in
+    // arity misuse is rejected by the shared builder
+    val (_, _, builder) = GraftExtensions.functions.head
+    intercept[IllegalArgumentException] { builder(Seq.empty) }
+  }
+}

@@ -242,17 +242,30 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
-  test("video frame sampling stub: deterministic count and signatures") {
+  test("video frame sampling: REAL animated-GIF decode, strided frames, decode-true features") {
     val spark0 = spark
     import spark0.implicits._
-    val vids = Seq(("v1", Array.tabulate[Byte](2048)(_.toByte)),
-      ("v2", Array.tabulate[Byte](300)(i => (i * 3).toByte)))
-      .toDF("video_id", "bytes")
-    val frames = Multimodal.sampleFrames(vids, frameBytes = 256, stride = 4).collect()
-    assert(frames.count(_.getString(0) == "v1") == 2) // 8 frames, stride 4 -> 0,4
-    assert(frames.count(_.getString(0) == "v2") == 1) // 1 frame -> 0
-    val again = Multimodal.sampleFrames(vids, frameBytes = 256, stride = 4).collect()
-    assert(frames.map(_.getLong(2)).sorted.sameElements(again.map(_.getLong(2)).sorted))
+    val vids = Multimodal.syntheticVideos(spark, 6, nFrames = 10).cache()
+    val frames = Multimodal.sampleFrames(vids, stride = 4).collect()
+    // 10 frames, stride 4 -> indices 0, 4, 8 for every video
+    assert(frames.length == 6 * 3, s"got ${frames.length}")
+    assert(frames.map(_.getInt(1)).toSet == Set(0, 4, 8))
+    // features must equal an independent decode of the same payload
+    // (GIF palettizes, so the reference is the DECODED frame, not the
+    // pre-encode pixels)
+    val v0 = vids.filter($"video_id" === "vid0.gif")
+      .select($"bytes").as[Array[Byte]].head()
+    val decoded = graft.core.Imaging.decodeGifFrames(v0)
+    assert(decoded.length == 10)
+    val sampled0 = frames.filter(_.getString(0) == "vid0.gif")
+      .map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4))).sortBy(_._1)
+    val expect0 = Seq(0, 4, 8).map(f =>
+      (f, decoded(f).getWidth, decoded(f).getHeight, graft.core.Imaging.aHash(decoded(f))))
+    assert(sampled0.toSeq == expect0, s"$sampled0 vs $expect0")
+    // undecodable payloads are dropped, not fatal
+    val junk = Seq(("bad", Array.tabulate[Byte](64)(_.toByte))).toDF("video_id", "bytes")
+    assert(Multimodal.sampleFrames(junk).count() == 0)
+    vids.unpersist()
   }
 
   test("phash near-dup equals brute force at hamming <= 6 (complete AND sound)") {
