@@ -125,6 +125,54 @@ object Canon {
       })
   }
 
+  /** WHATWG "ends in a number" check (host parser step 11): the final
+    * dot label (ignoring one trailing dot) is decimal, leading-0
+    * octal-ish, or 0x-hex — such a host MUST parse as IPv4. */
+  private def endsInNumber(host: String): Boolean = {
+    val parts0 = host.split("\\.", -1)
+    val parts = if (parts0.nonEmpty && parts0.last.isEmpty) parts0.dropRight(1) else parts0
+    if (parts.isEmpty || parts.last.isEmpty) false
+    else {
+      val last = parts.last
+      last.forall(_.isDigit) ||
+        (last.startsWith("0x") && last.drop(2).forall(c => Character.digit(c, 16) >= 0))
+    }
+  }
+
+  /** One IPv4 "number" per the WHATWG IPv4-number parser: 0x-hex
+    * (bare "0x" = 0), leading-0 octal, or decimal. */
+  private def parseIpv4Number(s: String): Option[Long] = {
+    if (s.isEmpty) None
+    else if (s.startsWith("0x")) {
+      val rest = s.drop(2)
+      if (rest.isEmpty) Some(0L)
+      else if (rest.length <= 8 && rest.forall(c => Character.digit(c, 16) >= 0))
+        Some(java.lang.Long.parseLong(rest, 16))
+      else None
+    } else if (s.length > 1 && s.startsWith("0")) {
+      val rest = s.drop(1)
+      if (rest.length <= 11 && rest.forall(c => c >= '0' && c <= '7'))
+        Some(java.lang.Long.parseLong(rest, 8))
+      else None
+    } else if (s.length <= 10 && s.forall(_.isDigit)) Some(s.toLong)
+    else None
+  }
+
+  /** WHATWG IPv4 parser + serializer: up to 4 dot parts (one trailing
+    * dot tolerated), the last part packing the remaining octets;
+    * canonical form is plain dotted decimal — `127.1`, `0x7f.0.0.1`
+    * and `2130706433` all render `127.0.0.1` like the url crate. */
+  private[core] def normalizeIpv4(host: String): Option[String] = {
+    val parts0 = host.split("\\.", -1).toVector
+    val parts = if (parts0.nonEmpty && parts0.last.isEmpty) parts0.dropRight(1) else parts0
+    if (parts.isEmpty || parts.length > 4) return None
+    val nums = parts.map(p => parseIpv4Number(p).getOrElse(return None))
+    if (nums.init.exists(_ > 255L)) return None
+    if (nums.last >= (1L << (8 * (5 - parts.length)))) return None
+    val ipv4 = nums.init.zipWithIndex.map { case (n, i) => n << (8 * (3 - i)) }.sum + nums.last
+    Some(Seq(24, 16, 8, 0).map(s => (ipv4 >> s) & 0xffL).mkString("."))
+  }
+
   /** Host canonicalization beyond ASCII reg-names (round-3 widening,
     * guarded by CanonWideningSpec; the synthetic space emits only ASCII
     * reg-names, so conformance is untouched): bracketed IPv6 literals
@@ -141,8 +189,13 @@ object Canon {
         val ascii = java.net.IDN.toASCII(hostRaw).toLowerCase
         if (ascii.nonEmpty && ascii.forall(isHostChar)) Some(ascii) else None
       } catch { case _: IllegalArgumentException => None }
-    } else if (hostRaw.forall(isHostChar)) Some(hostRaw.toLowerCase)
-    else None // InvalidDomainCharacter
+    } else if (hostRaw.forall(isHostChar)) {
+      val lower = hostRaw.toLowerCase
+      // a host whose final label is numeric MUST be IPv4 (WHATWG): the
+      // url crate normalizes 127.1 / 0x7f.0.0.1 / 2130706433 to
+      // 127.0.0.1 and rejects foo.123 outright
+      if (endsInNumber(lower)) normalizeIpv4(lower) else Some(lower)
+    } else None // InvalidDomainCharacter
   }
 
   /** Minimal percent-encode of chars that WHATWG encodes in paths and that

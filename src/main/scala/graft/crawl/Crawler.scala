@@ -397,7 +397,11 @@ class Crawler(spark: SparkSession, cfg: CrawlConfig) extends Serializable {
         "admitted" -> admittedCount,
         "novel" -> seenT.snapshot(wave + 1).get.totalRows,
         "images" -> imageRows,
-        "wall_ms" -> waveWallMs))
+        "wall_ms" -> waveWallMs,
+        // bloom fill observability: capacity vs items quantifies how
+        // far the pre-filter is from its next adaptive rebuild
+        "bloom_capacity" -> (if (cfg.bloom) bloomState.capacity else 0L),
+        "bloom_items" -> (if (cfg.bloom) bloomState.itemsAdded else 0L)))
       admitted.unpersist(false); parsed.unpersist(false)
       novel.unpersist(false); fetchedImages.unpersist(false)
     }

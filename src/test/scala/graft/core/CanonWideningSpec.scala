@@ -62,6 +62,39 @@ class CanonWideningSpec extends AnyFunSuite {
     })
   }
 
+  // ------------------------------------------------------------- IPv4
+
+  test("IPv4 hosts normalize to dotted decimal like the url crate") {
+    assert(render("http://127.0.0.1/x") == "http://127.0.0.1/x")
+    assert(render("http://127.1/x") == "http://127.0.0.1/x")
+    assert(render("http://0x7f.0.0.1/x") == "http://127.0.0.1/x")
+    assert(render("http://2130706433/x") == "http://127.0.0.1/x")
+    assert(render("http://0x7f000001/") == "http://127.0.0.1/")
+    assert(render("http://192.168.257/") == "http://192.168.1.1/")
+    assert(render("http://017700000001/") == "http://127.0.0.1/") // octal packed
+    assert(render("http://127.0.0.1./") == "http://127.0.0.1/")   // trailing dot
+    assert(render("http://0x.0x.0/") == "http://0.0.0.0/")        // bare 0x = 0
+    assert(render("http://127.0.0.1:8080/") == "http://127.0.0.1:8080/")
+  }
+
+  test("hosts ending in a number that aren't valid IPv4 are Malformed") {
+    for (bad <- Seq("http://foo.123/", "http://1.2.3.4.5/", "http://256.1.1.1/",
+        "http://192.168.65536/", "http://4294967296/", "http://1..2/",
+        "http://09.1.1.1/")) // leading-0 decimal with non-octal digit
+      assert(parse(bad).isEmpty, s"expected Malformed: $bad")
+  }
+
+  test("IPv4 normalization is a fixpoint over the packed forms (property)") {
+    check(Prop.forAll(Gen.chooseNum(0L, 0xFFFFFFFFL)) { ip =>
+      val u = parse(s"http://$ip/p").get
+      val dotted = u.host
+      // parse again from the canonical dotted form: unchanged
+      parse(u.render).contains(u) &&
+        dotted.split("\\.").map(_.toLong).zip(Seq(24, 16, 8, 0))
+          .map { case (o, s) => o << s }.sum == ip
+    })
+  }
+
   // -------------------------------------------------------------- IDN
 
   test("IDN hosts map to lowercase punycode") {
