@@ -49,6 +49,16 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("ngram jaccard and minhash near-dup stay equi-join shaped (no all-pairs fallback)") {
+    for ((name, df) <- Seq(
+        "ngram" -> Dedup.ngramJaccard(spark, dir),
+        "minhash" -> Dedup.minhashNearDup(spark, dir))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name fell back to an all-pairs join:\n" + p)
+    }
+  }
+
   test("similarity scoring uses the codegen float_dot, not interpreted higher-order folds") {
     val p = plan(Similarity.ivfTopK(spark, dir))
     assert(p.contains("float_dot"), "FloatDot expression missing from the plan:\n" + p)
