@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 import org.apache.spark.sql.GraftSqlBridge
 
 /** Codegen dot product of two float-array columns, accumulated
@@ -23,6 +24,20 @@ import org.apache.spark.sql.GraftSqlBridge
 case class FloatDot(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  // STRICT float arrays: ArrayData.getFloat on a double-backed array
+  // reads 4 of the slot's 8 bytes — silently-garbage results, so the
+  // analyzer must reject any other element type rather than coerce
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _                       => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"float_dot requires ARRAY<FLOAT> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

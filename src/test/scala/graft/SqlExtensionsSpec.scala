@@ -32,6 +32,13 @@ class SqlExtensionsSpec extends SparkTestBase {
     assert(viaSql.nonEmpty && viaSql.values.forall(_ > 0.0))
   }
 
+  test("float_dot rejects non-float arrays at analysis (getFloat on doubles would be garbage)") {
+    GraftExtensions.registerAll(spark)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT float_dot(array(1.0D), array(2.0D))").collect()
+    }
+  }
+
   test("the extension object injects the same builders without error") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext) // session-build path: same list wired in
