@@ -89,7 +89,7 @@ object SparkEntry {
     * binary decoders (image/audio features) and the crawl loop. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ TextOps.oracle ++ Dedup.oracle ++ Similarity.oracle ++
-      Multimodal.oracle
+      Multimodal.oracle ++ Audio.oracle
 
   /** Deterministic intermediate dumps for the `{AUX}` oracles: name ->
     * builder of the signature/band-key DataFrame the oracle SQL
@@ -104,6 +104,7 @@ object SparkEntry {
     "ivf_assign" -> ((s, d) => Similarity.ivfAssignAux(s, d)),
     "ivf_probes" -> ((s, d) => Similarity.ivfProbesAux(s, d)),
     "ivf_batch_probes" -> ((s, d) => Similarity.ivfBatchProbesAux(s, d)),
-    "phash_sigs" -> ((s, _) => Multimodal.syntheticImages(s, 64).select("image_id", "phash"))
+    "phash_sigs" -> ((s, _) => Multimodal.syntheticImages(s, 64).select("image_id", "phash")),
+    "audio_pcm" -> ((s, _) => Audio.pcmAux(s))
   )
 }

@@ -118,4 +118,37 @@ object Audio {
       })
       .toDF()
   }
+
+  /** Aux dump for the {AUX} oracle: the DECODED PCM rows. The decode
+    * itself is the non-SQL step; every feature after it (peak, RMS,
+    * zero crossings via a lag window) is exact integer math DuckDB
+    * replays — the sum of squares stays below 2^53 at these clip
+    * lengths, so even the double RMS is bit-identical. */
+  def pcmAux(spark: SparkSession, n: Int = 64): DataFrame = {
+    import spark.implicits._
+    syntheticAudio(spark, n).as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeWav(bytes).iterator.zipWithIndex.map { case (v, i) => (id, i, v.toInt) }
+      })
+      .toDF("audio_id", "i", "v")
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_audio_features" ->
+      """WITH pcm AS (SELECT * FROM read_parquet('{AUX}/audio_pcm/*.parquet')),
+        |x AS (
+        |  SELECT audio_id, i, v,
+        |    lag(v) OVER (PARTITION BY audio_id ORDER BY i) AS pv
+        |  FROM pcm)
+        |SELECT audio_id,
+        |  CAST(count(*) AS INT) AS n_samples,
+        |  count(*) * 1000 // 8000 AS duration_ms,
+        |  CAST(max(abs(v)) AS INT) AS peak,
+        |  CAST(floor(sqrt(CAST(sum(CAST(v AS BIGINT) * v) AS DOUBLE) / count(*)))
+        |    AS BIGINT) AS rms,
+        |  CAST(sum(CASE WHEN pv IS NOT NULL AND
+        |    ((pv < 0 AND v >= 0) OR (pv >= 0 AND v < 0)) THEN 1 ELSE 0 END)
+        |    AS INT) AS zero_crossings
+        |FROM x GROUP BY audio_id""".stripMargin
+  )
 }
