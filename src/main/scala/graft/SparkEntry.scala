@@ -36,6 +36,7 @@ object SparkEntry {
     "q_asof_join" -> (Relational.asofJoin _),
     "q_range_join" -> (Relational.rangeJoin _),
     "q_rollup_agg" -> (Relational.rollupAgg _),
+    "q_cube_agg" -> (Relational.cubeAgg _),
     "q_running_total" -> (Relational.runningTotal _),
     "q_lead_lag" -> (Relational.leadLag _),
     // --- text analysis ---

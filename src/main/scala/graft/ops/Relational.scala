@@ -180,6 +180,15 @@ object Relational {
         lead($"event_type", 1).over(w).as("next_type"))
   }
 
+  /** Grouping sets (CUBE) — all four aggregation granularities of
+    * (event_type, day-of-week) in one Expand pass. */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "events")
+      .cube($"event_type", dayofweek($"ts").cast("bigint").as("dow"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Per-wave metrics shape: tumbling hourly counts per event type. */
   def tumblingWindow(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -237,6 +246,10 @@ object Relational {
     "q_rollup_agg" ->
       """SELECT event_type, hour(ts) AS hod, count(*) AS n
         |FROM events GROUP BY ROLLUP (event_type, hod)""".stripMargin,
+    // DuckDB dayofweek is 0-based (Sunday=0); Spark's is 1-based
+    "q_cube_agg" ->
+      """SELECT event_type, dayofweek(ts) + 1 AS dow, count(*) AS n
+        |FROM events GROUP BY CUBE (event_type, dow)""".stripMargin,
     "q_running_total" ->
       """SELECT event_id, user_id, ts,
         |  CAST(sum(CAST(floor(value * 100) AS BIGINT))
