@@ -23,8 +23,11 @@ object Verify {
       }
     }
     // deterministic signature/band-key dumps the {AUX} oracles replay.
-    // Absolute: the driver may run DuckDB from a different cwd.
-    val auxRoot = new java.io.File(outDir, "aux").getAbsolutePath
+    // Absolute: the driver may run DuckDB from a different cwd. A
+    // SIBLING of outDir, not a child — the driver globs outDir/* as
+    // query results, and an aux child showed up as a phantom
+    // "aux": no_oracle row in CORRECTNESS_r03.
+    val auxRoot = new java.io.File(outDir.stripSuffix("/") + "_aux").getAbsolutePath
     SparkEntry.oracleAux.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$auxRoot/$name")

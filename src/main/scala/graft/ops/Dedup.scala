@@ -170,22 +170,49 @@ object Dedup {
     sig
   }
 
+  /** (doc_id, simhash) signatures — a mapPartitions KERNEL over the
+    * text column, not a Scala UDF: this is the map-side signature
+    * extraction of a 100 TB stage, and the repo's measured pecking
+    * order (codegen Expression > fold > UDF; per-row UDF invocation
+    * pays boxing + SerDe) applies exactly as it did to the SRP/IVF
+    * kernels. Shared by [[simhashNearDup]] and the aux oracle dump, so
+    * the DuckDB side replays exactly these signatures. */
   def simhashDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sh = udf(simhash64 _)
-    docs(spark, dir).select($"doc_id", sh($"text").as("simhash"))
+    docs(spark, dir).select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, simhash64(t)) })
+      .toDF("doc_id", "simhash")
   }
+
+  /** Hot-bucket guard for the chunk banding (same pattern and rationale
+    * as [[MaxShingleDf]]): one degenerate common 16-bit chunk (e.g.
+    * near-empty docs hashing alike) is f² join pairs with no cap. The
+    * SAME cap is interpolated into the oracle SQL. */
+  val MaxChunkDf = 1000
 
   /** SimHash near-dup: band the 64-bit signature into 4×16-bit chunks;
     * any pair agreeing on a chunk is a candidate (guaranteed to catch
-    * every pair with hamming distance <= 3); verify by popcount. */
-  def simhashNearDup(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    * every pair with hamming distance <= 3); verify by popcount.
+    * Buckets with df > maxDf are dropped from the join. */
+  def simhashNearDup(spark: SparkSession, dir: String, maxHamming: Int = 3,
+                     maxDf: Int = MaxChunkDf): DataFrame =
+    simhashNearDupFromSigs(simhashDf(spark, dir), maxHamming, maxDf)
+
+  /** The banding + verify stage over a (doc_id, simhash) signature
+    * table — split out so tests can plant adversarial signatures (hot
+    * buckets) directly. */
+  def simhashNearDupFromSigs(sig: DataFrame, maxHamming: Int = 3,
+                             maxDf: Int = MaxChunkDf): DataFrame = {
+    val spark = sig.sparkSession
     import spark.implicits._
-    val sig = simhashDf(spark, dir)
     val chunkCols = (0 until 4).map(c =>
       struct(lit(c).as("c"), shiftright($"simhash", c * 16).bitwiseAND(lit(0xffffL)).as("ch")))
-    val buckets = sig.select($"doc_id", $"simhash", explode(array(chunkCols: _*)).as("cb"))
+    val allBuckets = sig.select($"doc_id", $"simhash", explode(array(chunkCols: _*)).as("cb"))
       .select($"doc_id", $"simhash", $"cb.c", $"cb.ch")
+    val dfOk = allBuckets.groupBy($"c", $"ch")
+      .agg(count(lit(1)).as("df")).filter($"df" <= maxDf)
+      .select($"c", $"ch")
+    val buckets = allBuckets.join(dfOk, Seq("c", "ch"))
     // codegen'd hamming distance: bit_count(a XOR b) stays inside
     // whole-stage codegen, unlike a Scala UDF
     def ham(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
@@ -230,15 +257,18 @@ object Dedup {
     // independent: the oracle checks what the engine emits, not an
     // empirically-equal approximation).
     "q_simhash_neardup" ->
-      """WITH sig AS (SELECT * FROM read_parquet('{AUX}/simhash_sigs/*.parquet')),
+      ("""WITH sig AS (SELECT * FROM read_parquet('{AUX}/simhash_sigs/*.parquet')),
         |b AS (
         |  SELECT doc_id, simhash, c, (simhash >> (16 * c)) & 65535 AS ch
-        |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS c))
+        |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS c)),
+        |ok AS (SELECT c, ch FROM b GROUP BY 1, 2 HAVING count(*) <= """.stripMargin +
+      MaxChunkDf.toString + """),
+        |bj AS (SELECT b.* FROM b JOIN ok USING (c, ch))
         |SELECT DISTINCT a.doc_id AS a_id, b2.doc_id AS b_id,
         |  CAST(bit_count(xor(a.simhash, b2.simhash)) AS INT) AS hamming
-        |FROM b a JOIN b b2 ON a.c = b2.c AND a.ch = b2.ch
+        |FROM bj a JOIN bj b2 ON a.c = b2.c AND a.ch = b2.ch
         |     AND a.doc_id < b2.doc_id
-        |WHERE bit_count(xor(a.simhash, b2.simhash)) <= 3""".stripMargin,
+        |WHERE bit_count(xor(a.simhash, b2.simhash)) <= 3""".stripMargin),
     "q_minhash_neardup" ->
       """WITH keys AS (SELECT * FROM read_parquet('{AUX}/minhash_bands/*.parquet')),
         |cands AS (

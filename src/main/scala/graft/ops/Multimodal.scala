@@ -89,21 +89,43 @@ object Multimodal {
     Array.tabulate(64)(i => if (counts(i) == 0) 0f else (sums(i) / counts(i)).toFloat)
   }
 
-  /** Near-duplicate images by perceptual-hash chunk banding (same shape
-    * as Dedup.simhashNearDup, over the images table's phash column).
-    * 8 chunks of 8 bits: by pigeonhole any pair within hamming 7 shares
-    * an untouched chunk, so banding is COMPLETE for the default
-    * maxHamming = 6 (4x16-bit chunks only guaranteed <= 3 and silently
-    * missed 4-6-bit pairs; OpsSpec now asserts equality vs brute force). */
-  def phashNearDup(images: DataFrame, maxHamming: Int = 6): DataFrame = {
+  /** Hot-bucket guard for the chunk-pair banding: a band bucket holding
+    * f images contributes f² candidate pairs, so one degenerate common
+    * key (flat-color thumbnails all hashing alike) is quadratic at the
+    * 10^9-image design point. Buckets with df > MaxPhashBandDf are
+    * dropped from the JOIN ONLY — the SAME cap is interpolated into the
+    * aux oracle SQL (the Dedup.MaxShingleDf pattern), so engine and
+    * oracle agree bit-for-bit even when the cap binds. */
+  val MaxPhashBandDf = 1000
+
+  /** Near-duplicate images by perceptual-hash chunk-PAIR banding (same
+    * shape as Dedup.simhashNearDup, over the images table's phash
+    * column). The 64-bit hash splits into 8 chunks of 8 bits; the band
+    * keys are the C(8,2)=28 CONCATENATED chunk pairs (16 bits each): by
+    * pigeonhole a pair within hamming 6 touches at most 6 chunks, so
+    * >= 2 chunks — hence >= 1 of the 28 pair keys — are untouched, and
+    * banding stays COMPLETE for maxHamming <= 6 while each key space is
+    * 65,536 values instead of the single-chunk scheme's 256 (which made
+    * every bucket hold ~n/2048 rows at design scale — an effectively
+    * quadratic self-join; OpsSpec asserts equality vs brute force). */
+  def phashNearDup(images: DataFrame, maxHamming: Int = 6,
+                   maxDf: Int = MaxPhashBandDf): DataFrame = {
     val spark = images.sparkSession
     import spark.implicits._
-    require(maxHamming <= 7, s"8x8-bit banding is only complete for hamming <= 7, got $maxHamming")
-    val chunkCols = (0 until 8).map(c =>
-      struct(lit(c).as("c"), shiftright($"phash", c * 8).bitwiseAND(lit(0xffL)).as("ch")))
-    val buckets = images.select($"image_id", $"phash",
-        explode(array(chunkCols: _*)).as("cb"))
+    require(maxHamming <= 6,
+      s"8-chunk PAIR banding is only complete for hamming <= 6, got $maxHamming")
+    val pairCols = for { c1 <- 0 until 8; c2 <- c1 + 1 until 8 } yield
+      struct(lit(c1 * 8 + c2).as("c"),
+        shiftright($"phash", c1 * 8).bitwiseAND(lit(0xffL))
+          .bitwiseOR(shiftleft(shiftright($"phash", c2 * 8).bitwiseAND(lit(0xffL)), 8))
+          .as("ch"))
+    val allBuckets = images.select($"image_id", $"phash",
+        explode(array(pairCols: _*)).as("cb"))
       .select($"image_id", $"phash", $"cb.c", $"cb.ch")
+    val dfOk = allBuckets.groupBy($"c", $"ch")
+      .agg(count(lit(1)).as("df")).filter($"df" <= maxDf)
+      .select($"c", $"ch")
+    val buckets = allBuckets.join(dfOk, Seq("c", "ch"))
     // codegen'd hamming distance: bit_count(a XOR b) stays inside
     // whole-stage codegen, unlike a Scala UDF
     def ham(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
@@ -124,15 +146,24 @@ object Multimodal {
     * xor + bit_count and the hamming filter bit-for-bit. */
   val oracle: Map[String, String] = Map(
     "q_phash_neardup" ->
-      """WITH sig AS (SELECT * FROM read_parquet('{AUX}/phash_sigs/*.parquet')),
+      ("""WITH sig AS (SELECT * FROM read_parquet('{AUX}/phash_sigs/*.parquet')),
+        |pairs AS (
+        |  SELECT c1.c AS c1, c2.c AS c2
+        |  FROM (SELECT unnest(generate_series(0, 7)) AS c) c1,
+        |       (SELECT unnest(generate_series(0, 7)) AS c) c2
+        |  WHERE c1.c < c2.c),
         |b AS (
-        |  SELECT image_id, phash, c, (phash >> (8 * c)) & 255 AS ch
-        |  FROM sig, (SELECT unnest(generate_series(0, 7)) AS c))
+        |  SELECT image_id, phash, c1 * 8 + c2 AS c,
+        |    ((phash >> (8 * c1)) & 255) | (((phash >> (8 * c2)) & 255) << 8) AS ch
+        |  FROM sig, pairs),
+        |ok AS (SELECT c, ch FROM b GROUP BY 1, 2 HAVING count(*) <= """.stripMargin +
+      MaxPhashBandDf.toString + """),
+        |bj AS (SELECT b.* FROM b JOIN ok USING (c, ch))
         |SELECT DISTINCT a.image_id AS a_id, b2.image_id AS b_id,
         |  CAST(bit_count(xor(a.phash, b2.phash)) AS INT) AS hamming
-        |FROM b a JOIN b b2 ON a.c = b2.c AND a.ch = b2.ch
+        |FROM bj a JOIN bj b2 ON a.c = b2.c AND a.ch = b2.ch
         |     AND a.image_id < b2.image_id
-        |WHERE bit_count(xor(a.phash, b2.phash)) <= 6""".stripMargin
+        |WHERE bit_count(xor(a.phash, b2.phash)) <= 6""".stripMargin)
   )
 
   /** Deterministic in-plan "video" corpus: n animated GIFs (the one

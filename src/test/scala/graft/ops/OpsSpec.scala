@@ -281,4 +281,75 @@ class OpsSpec extends SparkTestBase {
     assert(res == brute, s"banding diff: missing=${brute -- res} extra=${res -- brute}")
     assert(brute.nonEmpty, "test corpus should contain phash near-dups")
   }
+
+  // ---------------------------------------------- hot-bucket df caps
+
+  /** The engine's chunk-pair band keys of a 64-bit hash, replayed
+    * bit-for-bit: (c1*8+c2, chunk(c1) | chunk(c2)<<8) for c1 < c2. */
+  private def phashPairKeys(h: Long): Seq[(Int, Long)] =
+    for { c1 <- 0 until 8; c2 <- c1 + 1 until 8 } yield
+      (c1 * 8 + c2, ((h >>> (c1 * 8)) & 0xffL) | (((h >>> (c2 * 8)) & 0xffL) << 8))
+
+  /** Capped-brute oracle over planted signatures: pairs sharing at
+    * least one band key whose bucket df <= cap, then hamming-filtered —
+    * exactly what the engine's df-capped banding must emit. */
+  private def cappedBrute[K: Ordering](sigs: Seq[(K, Long)], keys: Long => Seq[(Int, Long)],
+      cap: Int, maxHam: Int): Set[(K, K)] = {
+    val ord = implicitly[Ordering[K]]
+    val df = sigs.flatMap { case (_, h) => keys(h) }
+      .groupBy(identity).map { case (k, o) => k -> o.size }
+    (for {
+      (a, ha) <- sigs; (b, hb) <- sigs if ord.lt(a, b)
+      if keys(ha).toSet.intersect(keys(hb).toSet).exists(df(_) <= cap)
+      if java.lang.Long.bitCount(ha ^ hb) <= maxHam
+    } yield (a, b)).toSet
+  }
+
+  test("phash df cap: a planted hot pair-bucket binds, capped-brute oracle agrees") {
+    val spark0 = spark
+    import spark0.implicits._
+    // 12 images share chunks 0-5 (every low pair-bucket has df=12);
+    // chunk6 groups pairs (df=2 buckets survive), chunk7 is unique
+    val sigs: Seq[(String, Long)] = (0 until 12).map { i =>
+      (f"img$i%02d", ((i / 2).toLong << 48) | (i.toLong << 56))
+    }
+    val imgs = sigs.toDF("image_id", "phash")
+    val cap = 8
+    val expected = cappedBrute(sigs, phashPairKeys, cap, 6)
+    val res = Multimodal.phashNearDup(imgs, maxHamming = 6, maxDf = cap)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(res == expected, s"missing=${expected -- res} extra=${res -- expected}")
+    // the cap must actually BIND here: pure brute finds cross-group
+    // pairs at hamming <= 6 that only the (dropped) hot buckets cover
+    val pureBrute = (for {
+      (a, ha) <- sigs; (b, hb) <- sigs if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 6
+    } yield (a, b)).toSet
+    assert(expected.nonEmpty && (pureBrute -- expected).nonEmpty,
+      s"cap did not bind: brute=${pureBrute.size} capped=${expected.size}")
+  }
+
+  test("simhash df cap: a planted hot chunk-bucket binds, capped-brute oracle agrees") {
+    val spark0 = spark
+    import spark0.implicits._
+    def chunkKeys(h: Long): Seq[(Int, Long)] =
+      (0 until 4).map(c => (c, (h >>> (c * 16)) & 0xffffL))
+    // 12 docs share chunks 0-1 (hot, df=12); chunk2 groups pairs
+    // (df=2 survives), chunk3 is unique per doc
+    val sigs: Seq[(Long, Long)] = (0 until 12).map { i =>
+      (i.toLong, ((i / 2).toLong << 32) | (i.toLong << 48))
+    }
+    val cap = 8
+    val expected = cappedBrute(sigs, chunkKeys, cap, 3)
+    val res = Dedup.simhashNearDupFromSigs(
+        sigs.toDF("doc_id", "simhash"), maxHamming = 3, maxDf = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(res == expected, s"missing=${expected -- res} extra=${res -- expected}")
+    val pureBrute = (for {
+      (a, ha) <- sigs; (b, hb) <- sigs if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    assert(expected.nonEmpty && (pureBrute -- expected).nonEmpty,
+      s"cap did not bind: brute=${pureBrute.size} capped=${expected.size}")
+  }
 }
