@@ -30,7 +30,8 @@ final case class SnapshotMeta(
     table: String,
     wave: Int,
     files: Seq[DataFileMeta],
-    totalRows: Long
+    totalRows: Long,
+    properties: Map[String, String] = Map.empty
 )
 
 object LakeTable {
@@ -54,6 +55,13 @@ object LakeTable {
     }
     Await.result(Future.sequence(metas), Duration.Inf).sortBy(_.path)
   }
+
+  /** Recursive variant for directory-partitioned layouts (e.g. the IVF
+    * inverted lists' `cluster=<k>/` subdirectories). */
+  def footerMetasRecursive(dir: Path): Vector[DataFileMeta] = {
+    val (subdirs, _) = Lake.listPaths(dir).partition(Files.isDirectory(_))
+    footerMetas(dir) ++ subdirs.flatMap(footerMetasRecursive)
+  }
 }
 
 object Lake {
@@ -75,6 +83,12 @@ object Lake {
   private[lake] def listPaths(dir: Path): Vector[Path] =
     if (!Files.exists(dir)) Vector.empty
     else Using.resource(Files.list(dir))(_.iterator().asScala.toVector)
+
+  private[graft] def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      Using.resource(Files.walk(p))(_.iterator().asScala.toVector)
+        .reverse.foreach(Files.deleteIfExists(_))
+    }
 }
 
 /** Shared snapshot-manifest machinery: JSON snapshot per wave with
@@ -101,6 +115,10 @@ abstract class ManifestedTable(rootDir: String, val name: String) {
       fn.put("path", f.path)
       fn.put("rows", f.rows)
     }
+    if (snap.properties.nonEmpty) {
+      val props = node.putObject("properties")
+      snap.properties.toSeq.sortBy(_._1).foreach { case (k, v) => props.put(k, v) }
+    }
     val tmp = metaDir.resolve(s".tmp-snapshot-${snap.wave}.json")
     Files.writeString(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node))
     Files.move(tmp, snapshotPath(snap.wave), StandardCopyOption.ATOMIC_MOVE,
@@ -115,8 +133,11 @@ abstract class ManifestedTable(rootDir: String, val name: String) {
       val files = node.get("files").elements().asScala.map { f =>
         DataFileMeta(f.get("path").asText(), f.get("rows").asLong())
       }.toVector
+      val props = Option(node.get("properties")).map { p =>
+        p.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+      }.getOrElse(Map.empty[String, String])
       Some(SnapshotMeta(node.get("table").asText(), node.get("wave").asInt(), files,
-        node.get("totalRows").asLong()))
+        node.get("totalRows").asLong(), props))
     }
   }
 
@@ -175,6 +196,52 @@ class LakeTable(spark: SparkSession, rootDir: String, name: String)
     if (files.isEmpty)
       throw new IllegalStateException(s"$name: empty file list (guard with rowCount first)")
     spark.read.parquet(files.map(_.path): _*)
+  }
+}
+
+/** A maintained DERIVED-data table (e.g. the IVF inverted-list index):
+  * its content is a deterministic function of some source corpus, so
+  * the manifest is keyed by the corpus SNAPSHOT STRING — readers reuse
+  * the committed data iff the key still matches, and a rebuild for a
+  * new corpus snapshot lands in a fresh `key=<hash>/` directory with
+  * the manifest flipped atomically last (readers never observe a
+  * half-built index). Shared across JVMs via the stable on-disk layout;
+  * superseded key directories are cleaned on commit.
+  *
+  * Layout: `<root>/<name>/data/key=<md5>/<part>=<v>/part-*.parquet`
+  *         `<root>/<name>/_meta/snapshot-0.json` (properties: key)
+  *
+  * Concurrent REBUILDS of the same table from different JVMs are not
+  * coordinated (last manifest wins; both write identical content for
+  * the same key) — on a real cluster the atomic-rename commit would go
+  * through the catalog's compare-and-swap like the other tables. */
+class IndexTable(rootDir: String, name: String)
+    extends ManifestedTable(rootDir, name) {
+
+  private def keyHash(key: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** The committed data directory iff the manifest's key matches. */
+  def currentDir(key: String): Option[Path] =
+    snapshot(0)
+      .filter(_.properties.get("key").contains(key))
+      .map(_ => dataDir.resolve(s"key=${keyHash(key)}"))
+      .filter(Files.isDirectory(_))
+
+  /** Build (or replace) the index for corpus snapshot `key`: write the
+    * partitioned data, commit the manifest atomically, drop superseded
+    * key directories. Returns the new data directory. */
+  def rebuild(key: String, partitionCols: Seq[String], df: DataFrame): Path = {
+    val keyDir = dataDir.resolve(s"key=${keyHash(key)}")
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(keyDir.toString)
+    val files = LakeTable.footerMetasRecursive(keyDir)
+    writeSnapshot(SnapshotMeta(name, 0, files, files.map(_.rows).sum,
+      Map("key" -> key)))
+    Lake.listPaths(dataDir)
+      .filter(p => p.getFileName.toString.startsWith("key=") && p != keyDir)
+      .foreach(Lake.deleteRecursively)
+    keyDir
   }
 }
 

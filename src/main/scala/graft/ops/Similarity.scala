@@ -421,17 +421,17 @@ object Similarity {
     }).toDF("vec_id", "cluster")
   }
 
-  /** Per-JVM cache of materialized inverted-list indexes — the
-    * production shape is a maintained lake table rebuilt on corpus
-    * snapshot change. The cache key is the corpus SNAPSHOT (file
-    * names + sizes + mtimes of the embeddings parquet), not just the
-    * path, so a regenerated corpus at the same path rebuilds instead
-    * of serving a stale index. Built once, reused by every probe in
-    * the session, deleted on JVM exit (r2 leaked one temp copy per
-    * call). */
-  private val ivfIndexCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
-
+  /** The inverted-list index is a MAINTAINED lake table
+    * ([[graft.lake.IndexTable]]): built under `spark.graft.indexRoot`
+    * (a lake path on a real cluster; a stable local default here),
+    * with its manifest keyed by the corpus SNAPSHOT (file names +
+    * sizes + mtimes of the embeddings parquet) — so a regenerated
+    * corpus at the same path rebuilds instead of serving a stale
+    * index, an unchanged corpus is reused across JVMs with zero
+    * rebuild cost, and a rebuild lands in a fresh key directory with
+    * the manifest flipped atomically last (no temp dirs, no
+    * per-process copies — the r3 session cache made the index
+    * JVM-lifetime; this makes it corpus-lifetime). */
   private def corpusSnapshotKey(dir: String): String = {
     import scala.jdk.CollectionConverters._
     val p = java.nio.file.Paths.get(s"$dir/embeddings.parquet")
@@ -445,15 +445,21 @@ object Similarity {
     }.mkString(",").hashCode
   }
 
+  private def indexRoot(spark: SparkSession): String =
+    spark.conf.getOption("spark.graft.indexRoot")
+      .getOrElse(sys.props("java.io.tmpdir") + "/graft_index_lake")
+
   private def ivfIndexDir(spark: SparkSession, dir: String, nCentroids: Int): String =
-    ivfIndexCache.computeIfAbsent((corpusSnapshotKey(dir), nCentroids), { _ =>
-      val cB = spark.sparkContext.broadcast(coarseCentroids(emb(spark, dir), nCentroids))
-      val idxDir = java.nio.file.Files.createTempDirectory("ivf_index")
-      ivfAssigned(spark, dir, cB)
-        .write.mode("overwrite").partitionBy("cluster").parquet(idxDir.toString)
-      sys.addShutdownHook { graft.BenchChild.deleteRecursively(idxDir) }
-      idxDir.toString
-    })
+    synchronized { // serialize same-JVM builders; cross-JVM: see IndexTable
+      val key = corpusSnapshotKey(dir) + "|nc=" + nCentroids
+      val name = "ivf_" + java.lang.Integer.toHexString(
+        java.nio.file.Paths.get(dir).toAbsolutePath.toString.hashCode) + s"_$nCentroids"
+      val table = new graft.lake.IndexTable(indexRoot(spark), name)
+      table.currentDir(key).getOrElse {
+        val cB = spark.sparkContext.broadcast(coarseCentroids(emb(spark, dir), nCentroids))
+        table.rebuild(key, Seq("cluster"), ivfAssigned(spark, dir, cB))
+      }.toString
+    }
 
   /** IVF with the 100 TB layout MATERIALIZED: the corpus is written as
     * parquet PARTITIONED BY its coarse cluster id — the "inverted

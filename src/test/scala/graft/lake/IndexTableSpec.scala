@@ -1,0 +1,46 @@
+package graft.lake
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkTestBase
+
+/** Contract of the snapshot-keyed derived-data table behind the IVF
+  * inverted lists: reuse iff the corpus key matches, rebuild into a
+  * fresh key dir on key change, superseded key dirs cleaned, manifest
+  * flipped last. */
+class IndexTableSpec extends SparkTestBase {
+
+  test("index table: reuse on matching key, rebuild + cleanup on key change") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = tmpDir("idxroot")
+    val t = new IndexTable(root, "ivf_test")
+
+    assert(t.currentDir("k1").isEmpty, "empty table must not claim a current dir")
+
+    val d1 = t.rebuild("k1", Seq("cluster"),
+      Seq((1L, 0), (2L, 0), (3L, 1)).toDF("vec_id", "cluster"))
+    assert(t.currentDir("k1").contains(d1))
+    assert(t.currentDir("k2").isEmpty, "stale key must not be served")
+    // partitioned layout + readable back with the partition column
+    assert(Files.isDirectory(d1.resolve("cluster=0")))
+    val back = spark.read.parquet(d1.toString)
+    assert(back.count() == 3 && back.columns.toSet == Set("vec_id", "cluster"))
+    // manifest carries per-file lineage across the partition subdirs
+    val snap = t.snapshot(0).get
+    assert(snap.totalRows == 3 && snap.properties("key") == "k1")
+    assert(snap.files.map(_.rows).sum == 3)
+
+    // corpus changed -> rebuild under a NEW key dir; old dir cleaned
+    val d2 = t.rebuild("k2", Seq("cluster"),
+      Seq((1L, 0), (4L, 2)).toDF("vec_id", "cluster"))
+    assert(d2 != d1)
+    assert(t.currentDir("k2").contains(d2) && t.currentDir("k1").isEmpty)
+    assert(!Files.exists(d1), "superseded key dir must be cleaned on commit")
+    assert(spark.read.parquet(d2.toString).count() == 2)
+
+    // a second table instance (new "JVM") sees the committed index
+    val t2 = new IndexTable(root, "ivf_test")
+    assert(t2.currentDir("k2").contains(d2))
+  }
+}
