@@ -39,6 +39,7 @@ object SparkEntry {
     "q_cube_agg" -> (Relational.cubeAgg _),
     "q_running_total" -> (Relational.runningTotal _),
     "q_lead_lag" -> (Relational.leadLag _),
+    "q_sessionize" -> (graft.streaming.EventStream.sessionizeBatch _),
     // --- text analysis ---
     "q_token_count" -> (TextOps.tokenCount _),
     "q_bpe_token_count" -> (TextOps.bpeTokenCount _),
@@ -90,7 +91,7 @@ object SparkEntry {
     * binary decoders (image/audio features) and the crawl loop. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ TextOps.oracle ++ Dedup.oracle ++ Similarity.oracle ++
-      Multimodal.oracle ++ Audio.oracle
+      Multimodal.oracle ++ Audio.oracle ++ graft.streaming.EventStream.oracle
 
   /** Deterministic intermediate dumps for the `{AUX}` oracles: name ->
     * builder of the signature/band-key DataFrame the oracle SQL

@@ -35,16 +35,23 @@ object EventStream {
   final case class SessionOut(user_id: Long, n_events: Long, total_value: Double,
       closed: Boolean)
 
-  /** Per-user running sessions via mapGroupsWithState. The state
-    * tracks a 30-minute inactivity gap in EVENT time: a new event past
-    * the gap closes the old session and starts a fresh one (emitted
-    * with closed=true). NoTimeout is deliberate — processing-time
-    * timeouts keep a local query permanently busy (the engine schedules
-    * empty batches to service them), which breaks bounded test runs;
-    * event-time gap handling covers the semantics deterministically. */
+  /** 30-minute inactivity gap, in ms — shared by the streaming kernels
+    * and the batch sessionization so the three formulations agree. */
+  val SessionGapMs: Long = 30L * 60 * 1000
+
+  /** Per-user running sessions via mapGroupsWithState — the LIVE view
+    * (current session so far per user). Closed sessions' own stats are
+    * emitted by [[sessionizeClosed]]; this view only flags that a gap
+    * closed one. The state tracks a 30-minute inactivity gap in EVENT
+    * time: a new event past the gap closes the old session and starts
+    * a fresh one (emitted with closed=true). NoTimeout is deliberate —
+    * processing-time timeouts keep a local query permanently busy (the
+    * engine schedules empty batches to service them), which breaks
+    * bounded test runs; event-time gap handling covers the semantics
+    * deterministically. */
   def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    val gapMs = 30L * 60 * 1000
+    val gapMs = SessionGapMs
     events
       .groupByKey(_.user_id)
       .mapGroupsWithState[SessionState, SessionOut](GroupStateTimeout.NoTimeout) {
@@ -64,6 +71,100 @@ object EventStream {
           SessionOut(userId, s.nEvents, s.totalValue, closed = closedPrev)
       }
   }
+
+  final case class SessionAgg(startTs: Long, lastTs: Long, nEvents: Long, cents: Long)
+  final case class ClosedSession(user_id: Long, start_ts: Timestamp, end_ts: Timestamp,
+      n_events: Long, value_cents: Long)
+
+  /** REAL sessionization: one output row per CLOSED session, carrying
+    * that session's own stats — flatMapGroupsWithState in Append mode
+    * (mapGroupsWithState could only emit the running accumulator, so a
+    * gap reset overwrote the closed session's stats before any
+    * downstream consumer saw them). A session closes when a later
+    * event of the same user arrives past the 30-minute event-time gap;
+    * with NoTimeout (see [[sessionize]] for why) the trailing session
+    * per user stays open in state — at a real deployment an
+    * EventTimeTimeout flush would drain it on watermark advance.
+    * Value is accumulated in INTEGER cents (floor(value*100), the
+    * q_running_total convention) so stream, batch, and DuckDB
+    * formulations agree bit-for-bit. */
+  def sessionizeClosed(events: Dataset[Event]): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = SessionGapMs
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAgg, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, rows, state: GroupState[SessionAgg]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = Seq.newBuilder[ClosedSession]
+          var s = state.getOption.orNull
+          sorted.foreach { e =>
+            val tms = e.ts.getTime
+            val cents = math.floor(e.value * 100).toLong
+            if (s == null) s = SessionAgg(tms, tms, 1L, cents)
+            else if (tms - s.lastTs > gapMs) {
+              out += ClosedSession(userId, new Timestamp(s.startTs),
+                new Timestamp(s.lastTs), s.nEvents, s.cents)
+              s = SessionAgg(tms, tms, 1L, cents)
+            } else s = SessionAgg(s.startTs, math.max(s.lastTs, tms),
+              s.nEvents + 1, s.cents + cents)
+          }
+          state.update(s)
+          out.result().iterator
+      }
+  }
+
+  /** Batch sessionization over an events DataFrame — the gaps-and-
+    * islands formulation (lag → new-session flag → running session id
+    * → per-session agg), bit-equal to [[sessionizeClosed]] on the same
+    * rows. Two key shuffles total: the window partitions and the final
+    * groupBy ride the SAME user_id hash partitioning, so at 100 TB
+    * this is one exchange on user_id plus map-side partials. */
+  def sessionizeBatchDf(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // events tables carry TIMESTAMP_NTZ; the UTC session tz makes the
+    // TIMESTAMP cast value-preserving, so tms == DuckDB's epoch_ms(ts)
+    val tms = unix_millis($"ts".cast("timestamp"))
+    events
+      .select($"user_id", $"event_id", $"ts",
+        floor($"value" * 100).cast("bigint").as("cents"))
+      .withColumn("prev_ms", lag(tms, 1).over(w))
+      .withColumn("new_sess",
+        when($"prev_ms".isNull || tms - $"prev_ms" > SessionGapMs, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum($"new_sess").over(cum))
+      .groupBy($"user_id", $"sess_id")
+      .agg(min($"ts").as("start_ts"), max($"ts").as("end_ts"),
+        count(lit(1)).as("n_events"), sum($"cents").as("value_cents"))
+  }
+
+  /** Driver-contract entry over the events table. */
+  def sessionizeBatch(spark: SparkSession, dir: String): DataFrame =
+    sessionizeBatchDf(spark.read.parquet(s"$dir/events.parquet"))
+
+  val oracle: Map[String, String] = Map(
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, epoch_ms(ts) AS tms,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN lag(tms) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |    OR tms - lag(tms) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+        |    THEN 1 ELSE 0 END AS new_sess
+        |  FROM e),
+        |s AS (
+        |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+        |  FROM m)
+        |SELECT user_id, sess_id, min(ts) AS start_ts, max(ts) AS end_ts,
+        |  count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS value_cents
+        |FROM s GROUP BY 1, 2""".stripMargin
+  )
 
   /** Batch-equivalent of windowedCounts, for oracle comparison (the
     * streaming query over a bounded input must agree with the batch

@@ -138,6 +138,59 @@ class StreamingSpec extends SparkTestBase {
     assert(batchPairs == pairs, s"stream=$pairs batch=$batchPairs")
   }
 
+  test("flatMapGroupsWithState emits one row per CLOSED session, equal to the batch oracle") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // user 10: two gap-separated sessions + a trailing open one;
+    // user 11: one session closed by a late event; user 12: open only
+    val rows = Seq(
+      EventStream.Event(1L, ts(0), 10L, "click", 1.25),
+      EventStream.Event(2L, ts(5), 10L, "view", 2.50),
+      EventStream.Event(3L, ts(40), 10L, "click", 4.00),  // closes s1 (gap 35min)
+      EventStream.Event(4L, ts(45), 10L, "view", 0.75),
+      EventStream.Event(5L, ts(100), 10L, "click", 9.00), // closes s2 (gap 55min)
+      EventStream.Event(6L, ts(0), 11L, "click", 3.10),
+      EventStream.Event(7L, ts(90), 11L, "view", 1.00),   // closes 11's s1
+      EventStream.Event(8L, ts(0), 12L, "view", 7.77))
+
+    val mem = MemoryStream[EventStream.Event]
+    val q = EventStream.sessionizeClosed(mem.toDS())
+      .writeStream.format("memory").queryName("closed_sessions")
+      .outputMode(OutputMode.Append()).start()
+    // split across micro-batches mid-session AND mid-gap: closure must
+    // work across batch boundaries through the state
+    mem.addData(rows.take(3): _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(3): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("closed_sessions").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getLong(4))).toSet
+
+    // batch oracle over the same rows: every session; the stream emits
+    // exactly the CLOSED ones = all but each user's last
+    val batch = EventStream.sessionizeBatchDf(
+        rows.map(e => (e.event_id, e.ts, e.user_id, e.event_type, e.value))
+          .toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getTimestamp(3),
+        r.getLong(4), r.getLong(5)))
+    val lastSess = batch.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val expectClosed = batch.filter(s => s._2 != lastSess(s._1))
+      .map(s => (s._1, s._3, s._4, s._5, s._6)).toSet
+
+    assert(streamed == expectClosed, s"stream=$streamed batch=$expectClosed")
+    // the planted shape: user 10 closed twice, user 11 once, user 12 never
+    assert(streamed.count(_._1 == 10L) == 2 && streamed.count(_._1 == 11L) == 1 &&
+      !streamed.exists(_._1 == 12L), streamed.toString)
+    // closed sessions carry THEIR stats: s1 of user 10 = events 1,2
+    assert(streamed.contains((10L, ts(0), ts(5), 2L, 375L)), streamed.toString)
+  }
+
   test("mapGroupsWithState sessionization accumulates per-user state") {
     val spark0 = spark
     import spark0.implicits._
