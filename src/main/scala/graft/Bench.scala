@@ -186,6 +186,9 @@ object Bench {
     // hypervisor's deliverable capacity drifts minute to minute, so the
     // probe average taken around each run is the fairest same-window
     // hardware reference for normalization.
+    // SPARK_GRAFT_PROBE_ONLY skips the ~25-min pinned pairs for
+    // iterating on the 10k-host scale probe below.
+    if (!sys.env.contains("SPARK_GRAFT_PROBE_ONLY")) {
     def bracketed(cpus: Int): (CrawlBenchResult, Double) = {
       val capBefore = spinCapacity(cpus)
       val r = crawlBench(cpus, benchHosts)
@@ -237,6 +240,40 @@ object Bench {
       (thr(r8) / (4.0 * thr(r2))) / (cap8 / (4.0 * cap2))
     results("crawl_steady_scaling_eff_hw_normalized") =
       (sthr(r8) / (4.0 * sthr(r2))) / (cap8 / (4.0 * cap2))
+    }
+
+    // ---- 10,000-host scale probe (recorded per round since r4; was a
+    // one-off in BASELINE.md §r3): 4x the bench corpus at unpinned
+    // c32 — ~2.6M budget-capped admissions, ~7.3M seen rows. The run
+    // must exercise two design-point mechanisms FOR REAL: the adaptive
+    // bloom rebuild (7.3M novel > the 4M initial sizing) and resume as
+    // a fast no-op on the finished lake.
+    if (!sys.env.contains("SPARK_GRAFT_SKIP_SCALE_PROBE")) {
+      val spark = session(cpus)
+      val probeHosts = sys.env.getOrElse("SPARK_GRAFT_PROBE_HOSTS", "10000").toInt
+      val lake = java.nio.file.Files.createTempDirectory("scale_probe").toString
+      val cfg = benchConfig(cpus, probeHosts, lake)
+      val t0 = System.nanoTime()
+      new Crawler(spark, cfg).run()
+      val probeSecs = (System.nanoTime() - t0) / 1e9
+      val log = new graft.lake.RunLog(lake)
+      val waves = log.completeWaves
+      val admitted = waves.map(w => log.stats(w).getOrElse("admitted", 0L)).sum
+      val caps = waves.map(w => log.stats(w).getOrElse("bloom_capacity", 0L)).filter(_ > 0)
+      require(caps.distinct.size > 1,
+        s"adaptive bloom rebuild did not fire in the scale probe: capacities=$caps")
+      val t1 = System.nanoTime()
+      new Crawler(spark, cfg).run()
+      val resumeSecs = (System.nanoTime() - t1) / 1e9
+      require(new graft.lake.RunLog(lake).completeWaves == waves,
+        "scale-probe resume re-ran committed waves")
+      results("crawl_scale_probe_admitted") = admitted.toDouble
+      results("crawl_scale_probe_sec") = probeSecs
+      results("crawl_scale_probe_urls_per_sec") = admitted / probeSecs
+      results("crawl_scale_probe_resume_sec") = resumeSecs
+      BenchChild.deleteRecursively(java.nio.file.Paths.get(lake))
+      spark.stop()
+    }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")

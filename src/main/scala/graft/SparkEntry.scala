@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.SynthWeb
 import graft.crawl.{CrawlConfig, Crawler}
-import graft.ops.{Audio, Dedup, Multimodal, Relational, Similarity, TextOps}
+import graft.ops.{Audio, Dedup, Multimodal, Relational, Similarity, Sketches, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -40,6 +40,9 @@ object SparkEntry {
     "q_running_total" -> (Relational.runningTotal _),
     "q_lead_lag" -> (Relational.leadLag _),
     "q_sessionize" -> (graft.streaming.EventStream.sessionizeBatch _),
+    // --- approximate-metrics sketches (deterministic, oracle-exact) ---
+    "q_approx_distinct" -> (Sketches.approxDistinct _),
+    "q_histogram_percentile" -> (Sketches.histogramPercentile _),
     // --- text analysis ---
     "q_token_count" -> (TextOps.tokenCount _),
     "q_bpe_token_count" -> (TextOps.bpeTokenCount _),
@@ -91,7 +94,8 @@ object SparkEntry {
     * binary decoders (image/audio features) and the crawl loop. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ TextOps.oracle ++ Dedup.oracle ++ Similarity.oracle ++
-      Multimodal.oracle ++ Audio.oracle ++ graft.streaming.EventStream.oracle
+      Multimodal.oracle ++ Audio.oracle ++ Sketches.oracle ++
+      graft.streaming.EventStream.oracle
 
   /** Deterministic intermediate dumps for the `{AUX}` oracles: name ->
     * builder of the signature/band-key DataFrame the oracle SQL
@@ -107,6 +111,7 @@ object SparkEntry {
     "ivf_probes" -> ((s, d) => Similarity.ivfProbesAux(s, d)),
     "ivf_batch_probes" -> ((s, d) => Similarity.ivfBatchProbesAux(s, d)),
     "phash_sigs" -> ((s, _) => Multimodal.syntheticImages(s, 64).select("image_id", "phash")),
-    "audio_pcm" -> ((s, _) => Audio.pcmAux(s))
+    "audio_pcm" -> ((s, _) => Audio.pcmAux(s)),
+    "distinct_hashes" -> ((s, d) => Sketches.distinctHashesAux(s, d))
   )
 }

@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-metrics sketches, built for hash-exact oracle checking:
+  * instead of shipping Spark's built-in `approx_count_distinct` /
+  * `approx_percentile` (whose HLL++/KLL internals DuckDB cannot
+  * replay), the sketches themselves are deterministic integer
+  * DataFrames — an HLL register table and an equi-width histogram —
+  * so the DuckDB oracle recomputes them bit-for-bit. The registers ARE
+  * the distributed object (mergeable, fixed-size, map-side
+  * combinable); turning them into a scalar estimate is a driver-side
+  * epilogue ([[hllEstimate]], exercised in OpsSpec against true
+  * counts).
+  */
+object Sketches {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+
+  // ------------------------------------------------------------- HLL
+
+  /** 64 registers (p=6). Error ~ 1.04/sqrt(64) = 13% — sized down so
+    * the sf0.01 register table stays small; production would use
+    * p=12-14 with the identical plan shape. */
+  val HllP = 6
+  val HllM = 64
+
+  /** Sign-cleared xxhash64 of the deduplicated text — shared by
+    * [[approxDistinct]] and the aux dump, so the oracle replays
+    * exactly these hashes. The mask keeps the value non-negative:
+    * `>>` is arithmetic in both engines, and on non-negative inputs
+    * arithmetic == logical, so the bucket/rho bit ops below agree
+    * across Spark and DuckDB without an unsigned-shift function. */
+  private def hashCol(c: Column): Column =
+    xxhash64(lit(42L), c).bitwiseAND(lit(Long.MaxValue))
+
+  /** (source, h) hash dump for the {AUX} oracle. */
+  def distinctHashesAux(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir).select($"source", hashCol($"text").as("h"))
+  }
+
+  /** Per-source HLL register table: bucket = low p bits of the hash,
+    * rho = 1 + trailing zeros of the remaining bits (a geometric
+    * variable with the same law as the classic leading-zero rank —
+    * computed as bit_count(s XOR (s-1)), pure codegen'd integer ops),
+    * registers = max rho per bucket. One shuffle on (source, bucket)
+    * with map-side partial max — the fixed-size mergeable shape that
+    * survives 100 TB (the register table is at most sources × 64 rows
+    * regardless of input size). Empty buckets are simply absent
+    * (sparse representation); [[hllEstimate]] treats them as 0. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val h = hashCol($"text")
+    val suffix = shiftright(h, HllP) // non-negative: arithmetic == logical
+    docs(spark, dir)
+      .select($"source",
+        h.bitwiseAND(lit((HllM - 1).toLong)).as("bucket"),
+        call_function("bit_count", suffix.bitwiseXOR(suffix - 1)).as("rho"))
+      .groupBy($"source", $"bucket")
+      .agg(max($"rho").as("max_rho"))
+  }
+
+  /** Driver-side HLL estimate from a collected register table
+    * (alpha_64 small-range-corrected estimator). */
+  def hllEstimate(registers: Seq[(Long, Int)]): Double = {
+    val m = HllM
+    val alpha = 0.709 // alpha_64
+    val regs = new Array[Int](m)
+    registers.foreach { case (b, r) => regs(b.toInt) = math.max(regs(b.toInt), r) }
+    val z = 1.0 / regs.map(r => math.pow(2.0, -r)).sum
+    val raw = alpha * m * m * z
+    val zeros = regs.count(_ == 0)
+    if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else raw
+  }
+
+  // ------------------------------------------------- histogram percentile
+
+  /** Histogram resolution: 1-unit value buckets, capped. */
+  val HistMaxBucket = 999L
+
+  /** Approximate p50/p95 of `value` per event type from an equi-width
+    * integer histogram: bucket = min(floor(value), cap), one count
+    * shuffle (map-side combinable, fixed-size state — the only
+    * percentile shape that is one pass + mergeable at 100 TB), then
+    * the percentile = the lowest bucket whose cumulative count reaches
+    * ceil(total·q), computed with INTEGER arithmetic
+    * ((total·q + 99) / 100) so DuckDB agrees exactly. Output is the
+    * bucket lower bound — resolution is the bucket width by
+    * construction, like any fixed-histogram quantile. */
+  def histogramPercentile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = events(spark, dir)
+      .select($"event_type",
+        least(floor($"value").cast("bigint"), lit(HistMaxBucket)).as("bucket"))
+      .groupBy($"event_type", $"bucket")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"event_type").orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy($"event_type")
+    val cum = counts
+      .withColumn("cum", sum($"n").over(w))
+      .withColumn("total", sum($"n").over(tot))
+    // the rank inequality cum >= ceil(total*p/100) is evaluated as
+    // cum*100 >= total*p — pure integer multiplication, so Spark and
+    // DuckDB agree without any division-semantics fine print
+    cum
+      .select($"event_type", $"bucket", $"cum", $"total",
+        explode(array(lit(50L), lit(95L))).as("p"))
+      .filter($"cum" * 100 >= $"total" * $"p")
+      .groupBy($"event_type", $"p")
+      .agg(min($"bucket").as("bucket_lo"))
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_approx_distinct" ->
+      """WITH h AS (SELECT * FROM read_parquet('{AUX}/distinct_hashes/*.parquet')),
+        |r AS (
+        |  SELECT source, h & {MASK} AS bucket,
+        |    CAST(bit_count(xor(h >> {P}, (h >> {P}) - 1)) AS INT) AS rho
+        |  FROM h)
+        |SELECT source, bucket, max(rho) AS max_rho
+        |FROM r GROUP BY 1, 2""".stripMargin
+        .replace("{MASK}", (HllM - 1).toString).replace("{P}", HllP.toString),
+    "q_histogram_percentile" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    least(CAST(floor(value) AS BIGINT), {CAP}) AS bucket
+        |  FROM events),
+        |c AS (SELECT event_type, bucket, count(*) AS n FROM b GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, bucket,
+        |    CAST(sum(n) OVER (PARTITION BY event_type ORDER BY bucket
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS total
+        |  FROM c)
+        |SELECT event_type, CAST(p AS BIGINT) AS p, min(bucket) AS bucket_lo
+        |FROM s, (SELECT unnest([50, 95]) AS p)
+        |WHERE cum * 100 >= total * p
+        |GROUP BY 1, 2""".stripMargin
+        .replace("{CAP}", HistMaxBucket.toString)
+  )
+}

@@ -282,6 +282,38 @@ class OpsSpec extends SparkTestBase {
     assert(brute.nonEmpty, "test corpus should contain phash near-dups")
   }
 
+  // ----------------------------------------------------------- sketches
+
+  test("histogram percentile picks the exact rank bucket on a known distribution") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmpDir("hist")
+    // values 0.5..99.5 -> buckets 0..99, one event each: p50 = lowest
+    // bucket with cum*100 >= total*50 = bucket 49; p95 = bucket 94
+    ((0 until 100).map(i => (1000L + i, "click", i + 0.5)) :+
+      ((2000L, "view", 7.25)))
+      .toDF("event_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val res = Sketches.histogramPercentile(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(res(("click", 50L)) == 49L && res(("click", 95L)) == 94L, res.toString)
+    assert(res(("view", 50L)) == 7L && res(("view", 95L)) == 7L, res.toString)
+  }
+
+  test("HLL register table estimates true distinct counts within sketch error") {
+    val regs = Sketches.approxDistinct(spark, docsDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val truth = spark.read.parquet(s"$docsDir/documents.parquet")
+      .select("source", "text").distinct().collect()
+      .map(_.getString(0)).groupBy(identity).view.mapValues(_.size).toMap
+    assert(truth.nonEmpty)
+    truth.foreach { case (src, n) =>
+      val est = Sketches.hllEstimate(
+        regs.filter(_._1 == src).map(t => (t._2, t._3)).toSeq)
+      assert(math.abs(est - n) <= math.max(3.0, 0.35 * n), s"$src est=$est true=$n")
+    }
+  }
+
   // ---------------------------------------------- hot-bucket df caps
 
   /** The engine's chunk-pair band keys of a 64-bit hash, replayed
