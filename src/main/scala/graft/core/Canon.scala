@@ -198,21 +198,40 @@ object Canon {
     } else None // InvalidDomainCharacter
   }
 
-  /** Minimal percent-encode of chars that WHATWG encodes in paths and that
-    * our synthetic space can emit (space + control + a few specials). */
+  /** The WHATWG path percent-encode set (url crate `path()`
+    * serialization): C0 controls, space, `"` `<` `>` `` ` `` `{` `}`,
+    * DEL — widened in r4 from the minimal synthetic-space subset,
+    * behind CanonWideningSpec properties. `?` and `#` never reach the
+    * path (parse splits query/fragment first). Existing `%xx` escapes
+    * pass through UNTOUCHED, case included: WHATWG does not
+    * re-normalize percent-encoding (`%3a` stays `%3a`, `%41` ≠ `A`),
+    * and that passthrough is also what makes encoding idempotent. */
   private def encodePathChar(c: Char, sb: StringBuilder): Unit = c match {
     case ' '            => sb.append("%20")
     case '"'            => sb.append("%22")
     case '<'            => sb.append("%3C")
     case '>'            => sb.append("%3E")
     case '`'            => sb.append("%60")
-    case c if c < 0x20  => sb.append(f"%%${c.toInt}%02X")
+    case '{'            => sb.append("%7B")
+    case '}'            => sb.append("%7D")
+    case c if c < 0x20 || c == 0x7f => sb.append(f"%%${c.toInt}%02X")
     case c              => sb.append(c)
   }
 
+  /** Non-ASCII code points are UTF-8 percent-encoded (url crate: `é` →
+    * `%C3%A9`), by CODE POINT so astral chars encode as one 4-byte
+    * sequence, not two escaped surrogates. Rendered paths are
+    * therefore always ASCII (CanonWideningSpec property). */
   private def encodePath(p: String): String = {
     val sb = new StringBuilder(p.length)
-    p.foreach(encodePathChar(_, sb))
+    var i = 0
+    while (i < p.length) {
+      val cp = p.codePointAt(i)
+      if (cp < 0x80) encodePathChar(cp.toChar, sb)
+      else new String(Character.toChars(cp)).getBytes("UTF-8")
+        .foreach(b => sb.append(f"%%${b & 0xff}%02X"))
+      i += Character.charCount(cp)
+    }
     sb.toString
   }
 

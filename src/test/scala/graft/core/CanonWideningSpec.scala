@@ -125,4 +125,44 @@ class CanonWideningSpec extends AnyFunSuite {
     val origin = parse("http://h0.test/").get.origin
     assert(Canon.resolveLink("p%41", origin).map(_.render).contains("http://h0.test/p%41"))
   }
+
+  test("existing escapes keep their hex CASE: WHATWG does not re-normalize %3a") {
+    // the url crate copies percent-encoded bytes verbatim — no
+    // uppercasing, no decode/re-encode cycle
+    assert(render("http://h0.test/p%3a") == "http://h0.test/p%3a")
+    assert(render("http://h0.test/p%3A") == "http://h0.test/p%3A")
+    assert(parse("http://h0.test/p%3a") != parse("http://h0.test/p%3A"))
+  }
+
+  // ------------------------------- path percent-encoding (r4 widening)
+
+  test("non-ASCII path chars are UTF-8 percent-encoded like the url crate") {
+    assert(render("http://h0.test/café") == "http://h0.test/caf%C3%A9")
+    assert(render("http://h0.test/例") == "http://h0.test/%E4%BE%8B")
+    // astral code point: ONE 4-byte UTF-8 sequence, not two escaped
+    // surrogates
+    assert(render("http://h0.test/a😀b") == "http://h0.test/a%F0%9F%98%80b")
+    // WHATWG path set extras
+    assert(render("http://h0.test/a{b}c") == "http://h0.test/a%7Bb%7Dc")
+    assert(render("http://h0.test/a\u007fb") == "http://h0.test/a%7Fb")
+  }
+
+  test("rendered paths are always ASCII and encoding is idempotent (property)") {
+    val pathChar = Gen.frequency(
+      6 -> Gen.alphaNumChar, 1 -> Gen.oneOf(' ', '"', '<', '>', '`', '{', '}', '/'),
+      1 -> Gen.oneOf('é', 'ü', '例', '\u0007', '%'),
+      1 -> Gen.chooseNum(0x20, 0x7e).map(_.toChar))
+    // '?' / '#' split off query/fragment before the path — the r4
+    // widening is scoped to PATH serialization (query/fragment stay
+    // raw, as before), so keep them out of the generated path
+    val path = Gen.listOf(pathChar).map(_.mkString.filter(c => c != '?' && c != '#'))
+    check(Prop.forAll(path) { p =>
+      parse(s"http://h0.test/$p") match {
+        case None => true // e.g. a stray '?'-free malformed shape — none here
+        case Some(u) =>
+          val r = u.render
+          r.forall(_ < 0x80) && parse(r).contains(u) && parse(r).get.render == r
+      }
+    })
+  }
 }

@@ -130,6 +130,34 @@ class PlanSpec extends SparkTestBase {
     assert(filesRead < allFiles, s"pruned=$filesRead all=$allFiles")
   }
 
+  test("sessionize rides ONE user_id shuffle end to end") {
+    // the window partitions by user_id; the final (user_id, sess_id)
+    // groupBy is satisfied by that same HashPartitioning(user_id) —
+    // hash keys are a subset of the grouping keys — so no second
+    // exchange appears. The 100 TB shape: one shuffle of the events.
+    val p = plan(graft.streaming.EventStream.sessionizeBatch(spark, dir))
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly 1 shuffle, got $exchanges:\n" + p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("HLL registers: one shuffle with map-side partial max") {
+    val p = plan(Sketches.approxDistinct(spark, dir))
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly 1 shuffle, got $exchanges:\n" + p)
+    assert(p.contains("partial_max"), "no map-side combine:\n" + p)
+  }
+
+  test("histogram percentile: full-data pass is one count shuffle; windows run sketch-sized") {
+    val p = plan(Sketches.histogramPercentile(spark, dir))
+    // shuffle 1: the (event_type, bucket) count over the full table
+    // (map-side partial_count); shuffle 2 repartitions only the
+    // <= types x 1000-row histogram for the cumulative window
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges == 2, s"expected 2 shuffles (1 full-data + 1 sketch-sized), got $exchanges:\n" + p)
+    assert(p.contains("partial_count"), "no map-side combine on the full-data pass:\n" + p)
+  }
+
   test("cosine near-dup plan has no cartesian product") {
     val p = plan(Similarity.cosineNearDup(spark, dir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
