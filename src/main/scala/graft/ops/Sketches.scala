@@ -85,25 +85,25 @@ object Sketches {
   /** Histogram resolution: 1-unit value buckets, capped. */
   val HistMaxBucket = 999L
 
-  /** Approximate p50/p95 of `value` per event type from an equi-width
-    * integer histogram: bucket = min(floor(value), cap), one count
-    * shuffle (map-side combinable, fixed-size state — the only
+  /** WINDOWED approximate p50/p95 of `value` per (tumbling hour,
+    * event type) from an equi-width integer histogram: bucket =
+    * min(floor(value), cap), one count shuffle over the full table
+    * (map-side combinable, fixed-size state per window — the only
     * percentile shape that is one pass + mergeable at 100 TB), then
     * the percentile = the lowest bucket whose cumulative count reaches
-    * ceil(total·q), computed with INTEGER arithmetic
-    * ((total·q + 99) / 100) so DuckDB agrees exactly. Output is the
-    * bucket lower bound — resolution is the bucket width by
-    * construction, like any fixed-histogram quantile. */
+    * the q-th rank. Output is the bucket lower bound — resolution is
+    * the bucket width by construction, like any fixed-histogram
+    * quantile. */
   def histogramPercentile(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val counts = events(spark, dir)
-      .select($"event_type",
+      .select(date_trunc("hour", $"ts").as("hour"), $"event_type",
         least(floor($"value").cast("bigint"), lit(HistMaxBucket)).as("bucket"))
-      .groupBy($"event_type", $"bucket")
+      .groupBy($"hour", $"event_type", $"bucket")
       .agg(count(lit(1)).as("n"))
-    val w = Window.partitionBy($"event_type").orderBy($"bucket")
+    val w = Window.partitionBy($"hour", $"event_type").orderBy($"bucket")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = Window.partitionBy($"event_type")
+    val tot = Window.partitionBy($"hour", $"event_type")
     val cum = counts
       .withColumn("cum", sum($"n").over(w))
       .withColumn("total", sum($"n").over(tot))
@@ -111,10 +111,10 @@ object Sketches {
     // cum*100 >= total*p — pure integer multiplication, so Spark and
     // DuckDB agree without any division-semantics fine print
     cum
-      .select($"event_type", $"bucket", $"cum", $"total",
+      .select($"hour", $"event_type", $"bucket", $"cum", $"total",
         explode(array(lit(50L), lit(95L))).as("p"))
       .filter($"cum" * 100 >= $"total" * $"p")
-      .groupBy($"event_type", $"p")
+      .groupBy($"hour", $"event_type", $"p")
       .agg(min($"bucket").as("bucket_lo"))
   }
 
@@ -130,20 +130,20 @@ object Sketches {
         .replace("{MASK}", (HllM - 1).toString).replace("{P}", HllP.toString),
     "q_histogram_percentile" ->
       """WITH b AS (
-        |  SELECT event_type,
+        |  SELECT date_trunc('hour', ts) AS hour, event_type,
         |    least(CAST(floor(value) AS BIGINT), {CAP}) AS bucket
         |  FROM events),
-        |c AS (SELECT event_type, bucket, count(*) AS n FROM b GROUP BY 1, 2),
+        |c AS (SELECT hour, event_type, bucket, count(*) AS n FROM b GROUP BY 1, 2, 3),
         |s AS (
-        |  SELECT event_type, bucket,
-        |    CAST(sum(n) OVER (PARTITION BY event_type ORDER BY bucket
+        |  SELECT hour, event_type, bucket,
+        |    CAST(sum(n) OVER (PARTITION BY hour, event_type ORDER BY bucket
         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
-        |    CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS total
+        |    CAST(sum(n) OVER (PARTITION BY hour, event_type) AS BIGINT) AS total
         |  FROM c)
-        |SELECT event_type, CAST(p AS BIGINT) AS p, min(bucket) AS bucket_lo
+        |SELECT hour, event_type, CAST(p AS BIGINT) AS p, min(bucket) AS bucket_lo
         |FROM s, (SELECT unnest([50, 95]) AS p)
         |WHERE cum * 100 >= total * p
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2, 3""".stripMargin
         .replace("{CAP}", HistMaxBucket.toString)
   )
 }

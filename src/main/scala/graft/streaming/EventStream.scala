@@ -115,6 +115,54 @@ object EventStream {
       }
   }
 
+  /** [[sessionizeClosed]] plus WATERMARK DRAINING: with an event-time
+    * timeout armed at lastTs + gap, a session whose user simply stops
+    * producing events still emits once the watermark passes its gap —
+    * no session is held hostage by a quiet key (the NoTimeout variant
+    * keeps trailing sessions in state forever, which is fine for
+    * bounded tests but not for production). EventTimeTimeout is
+    * watermark-driven, so unlike processing-time timeouts it stays
+    * deterministic and does not busy-spin bounded local queries. */
+  def sessionizeClosedWithTimeout(events: Dataset[Event]): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = SessionGapMs
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAgg, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, rows, state: GroupState[SessionAgg]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(userId, new Timestamp(s.startTs),
+              new Timestamp(s.lastTs), s.nEvents, s.cents))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val out = Seq.newBuilder[ClosedSession]
+            var s = state.getOption.orNull
+            sorted.foreach { e =>
+              val tms = e.ts.getTime
+              val cents = math.floor(e.value * 100).toLong
+              if (s == null) s = SessionAgg(tms, tms, 1L, cents)
+              else if (tms - s.lastTs > gapMs) {
+                out += ClosedSession(userId, new Timestamp(s.startTs),
+                  new Timestamp(s.lastTs), s.nEvents, s.cents)
+                s = SessionAgg(tms, tms, 1L, cents)
+              } else s = SessionAgg(s.startTs, math.max(s.lastTs, tms),
+                s.nEvents + 1, s.cents + cents)
+            }
+            state.update(s)
+            // the timeout timestamp may not lag the current watermark
+            // (Spark rejects it); a session already past its gap when
+            // its data arrives times out on the next watermark tick
+            state.setTimeoutTimestamp(
+              math.max(s.lastTs + gapMs, state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
+          }
+      }
+  }
+
   /** Batch sessionization over an events DataFrame — the gaps-and-
     * islands formulation (lag → new-session flag → running session id
     * → per-session agg), bit-equal to [[sessionizeClosed]] on the same

@@ -284,20 +284,26 @@ class OpsSpec extends SparkTestBase {
 
   // ----------------------------------------------------------- sketches
 
-  test("histogram percentile picks the exact rank bucket on a known distribution") {
+  test("histogram percentile picks the exact rank bucket per (hour, type)") {
     val spark0 = spark
     import spark0.implicits._
     val dir = tmpDir("hist")
-    // values 0.5..99.5 -> buckets 0..99, one event each: p50 = lowest
-    // bucket with cum*100 >= total*50 = bucket 49; p95 = bucket 94
-    ((0 until 100).map(i => (1000L + i, "click", i + 0.5)) :+
-      ((2000L, "view", 7.25)))
-      .toDF("event_id", "event_type", "value")
+    def t(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    // hour A: values 0.5..99.5 -> buckets 0..99, one event each: p50 =
+    // lowest bucket with cum*100 >= total*50 = bucket 49; p95 = 94.
+    // hour B (clicks again): constant value -> both percentiles = 7,
+    // proving the window key separates the histograms
+    ((0 until 100).map(i => (1000L + i, t(i % 30), "click", i + 0.5)) ++
+      (0 until 10).map(i => (2000L + i, t(90 + i), "click", 7.25)))
+      .toDF("event_id", "ts", "event_type", "value")
       .write.parquet(s"$dir/events.parquet")
     val res = Sketches.histogramPercentile(spark, dir).collect()
-      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
-    assert(res(("click", 50L)) == 49L && res(("click", 95L)) == 94L, res.toString)
-    assert(res(("view", 50L)) == 7L && res(("view", 95L)) == 7L, res.toString)
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)) -> r.getLong(3)).toMap
+    val hourA = res.keys.map(_._1).min
+    val hourB = res.keys.map(_._1).max
+    assert(hourA != hourB, "test must span two hours")
+    assert(res((hourA, "click", 50L)) == 49L && res((hourA, "click", 95L)) == 94L, res.toString)
+    assert(res((hourB, "click", 50L)) == 7L && res((hourB, "click", 95L)) == 7L, res.toString)
   }
 
   test("HLL register table estimates true distinct counts within sketch error") {

@@ -191,6 +191,38 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.contains((10L, ts(0), ts(5), 2L, 375L)), streamed.toString)
   }
 
+  test("event-time timeout drains trailing sessions once the watermark passes the gap") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val mem = MemoryStream[EventStream.Event]
+    val q = EventStream.sessionizeClosedWithTimeout(mem.toDS())
+      .writeStream.format("memory").queryName("drained_sessions")
+      .outputMode(OutputMode.Append()).start()
+    // user 10's session ends at ts(2); nobody closes it with a later
+    // event — only the watermark can
+    mem.addData(
+      EventStream.Event(1L, ts(0), 10L, "click", 1.25),
+      EventStream.Event(2L, ts(2), 10L, "view", 2.50))
+    q.processAllAvailable()
+    assert(spark.table("drained_sessions").count() == 0,
+      "session must stay open while the watermark is below lastTs + gap")
+    // watermark advances past ts(2) + 30min on the tick; the timeout
+    // fires on the FOLLOWING trigger (watermarks commit at batch end)
+    mem.addData(EventStream.Event(99L, ts(120), 99L, "tick", 0.0))
+    q.processAllAvailable()
+    mem.addData(EventStream.Event(98L, ts(125), 98L, "tick", 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val drained = spark.table("drained_sessions")
+      .filter($"user_id" < 90).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(drained == Set((10L, ts(0), ts(2), 2L, 375L)), drained.toString)
+  }
+
   test("mapGroupsWithState sessionization accumulates per-user state") {
     val spark0 = spark
     import spark0.implicits._
