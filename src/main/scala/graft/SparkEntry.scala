@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.SynthWeb
 import graft.crawl.{CrawlConfig, Crawler}
-import graft.ops.{Audio, Dedup, Multimodal, Relational, Similarity, Sketches, TextOps}
+import graft.ops.{Audio, Dedup, Multimodal, Relational, Sampling, Similarity, Sketches, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -43,6 +43,9 @@ object SparkEntry {
     // --- approximate-metrics sketches (deterministic, oracle-exact) ---
     "q_approx_distinct" -> (Sketches.approxDistinct _),
     "q_histogram_percentile" -> (Sketches.histogramPercentile _),
+    // --- deterministic sampling / data mixing ---
+    "q_hash_sample" -> ((s: SparkSession, d: String) => Sampling.hashSample(s, d)),
+    "q_stratified_sample" -> ((s: SparkSession, d: String) => Sampling.stratifiedSample(s, d)),
     // --- text analysis ---
     "q_token_count" -> (TextOps.tokenCount _),
     "q_bpe_token_count" -> (TextOps.bpeTokenCount _),
@@ -94,7 +97,7 @@ object SparkEntry {
     * binary decoders (image/audio features) and the crawl loop. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ TextOps.oracle ++ Dedup.oracle ++ Similarity.oracle ++
-      Multimodal.oracle ++ Audio.oracle ++ Sketches.oracle ++
+      Multimodal.oracle ++ Audio.oracle ++ Sketches.oracle ++ Sampling.oracle ++
       graft.streaming.EventStream.oracle
 
   /** Deterministic intermediate dumps for the `{AUX}` oracles: name ->
@@ -112,6 +115,7 @@ object SparkEntry {
     "ivf_batch_probes" -> ((s, d) => Similarity.ivfBatchProbesAux(s, d)),
     "phash_sigs" -> ((s, _) => Multimodal.syntheticImages(s, 64).select("image_id", "phash")),
     "audio_pcm" -> ((s, _) => Audio.pcmAux(s)),
-    "distinct_hashes" -> ((s, d) => Sketches.distinctHashesAux(s, d))
+    "distinct_hashes" -> ((s, d) => Sketches.distinctHashesAux(s, d)),
+    "sample_hashes" -> ((s, d) => Sampling.sampleHashesAux(s, d))
   )
 }

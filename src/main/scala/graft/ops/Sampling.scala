@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deterministic sampling — the data-mixing primitives of a training
+  * pipeline. Both are HASH-based, not RNG-based: the same corpus
+  * always yields the same sample (reproducible mixes, resumable jobs,
+  * and an exact DuckDB oracle via the shared hash dump), and the
+  * decision is a pure per-row predicate — no coordinator, no
+  * pass-ordering dependence, the only sampling that works on 100 TB
+  * spread over 1000 executors.
+  */
+object Sampling {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Sign-cleared sampling hash of the doc id (seed disjoint from the
+    * HLL/minhash families) — shared by both samplers and the aux dump,
+    * so the oracle replays exactly these draws. */
+  private def sampleHash(c: Column): Column =
+    xxhash64(lit(7L), c).bitwiseAND(lit(Long.MaxValue))
+
+  /** (doc_id, source, h) dump for the {AUX} oracles. */
+  def sampleHashesAux(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir).select($"doc_id", $"source", sampleHash($"doc_id").as("h"))
+  }
+
+  /** Bernoulli-by-hash sample: keep a row iff h mod 100 < pct. Scan →
+    * filter, ZERO shuffles (plan-gated); rate changes re-use prior
+    * draws (pct=10 is a superset of pct=5 — stable incremental
+    * sampling, unlike rand()). */
+  def hashSample(spark: SparkSession, dir: String, pct: Int = 10): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .select($"doc_id", $"source", sampleHash($"doc_id").as("h"))
+      .filter($"h" % 100 < pct)
+      .select($"doc_id", $"source")
+  }
+
+  /** Stratified quota sample: the `quota` lowest-hash docs per source —
+    * the per-source data-mixing shape (equal representation regardless
+    * of stratum size). One shuffle on source + a windowed rank; ties
+    * broken by doc_id so the draw is total-ordered and exact. */
+  def stratifiedSample(spark: SparkSession, dir: String, quota: Int = 50): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"source").orderBy($"h", $"doc_id")
+    docs(spark, dir)
+      .select($"doc_id", $"source", sampleHash($"doc_id").as("h"))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter($"rnk" <= quota)
+      .select($"doc_id", $"source", $"rnk")
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_hash_sample" ->
+      """SELECT doc_id, source
+        |FROM read_parquet('{AUX}/sample_hashes/*.parquet')
+        |WHERE h % 100 < 10""".stripMargin,
+    "q_stratified_sample" ->
+      """SELECT doc_id, source, rnk FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rnk
+        |  FROM read_parquet('{AUX}/sample_hashes/*.parquet'))
+        |WHERE rnk <= 50""".stripMargin
+  )
+}

@@ -158,6 +158,15 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("partial_count"), "no map-side combine on the full-data pass:\n" + p)
   }
 
+  test("hash sample is scan -> filter with no shuffle; stratified rides one source shuffle") {
+    val p1 = plan(Sampling.hashSample(spark, dir))
+    assert(!p1.contains("Exchange"), "bernoulli-by-hash must not shuffle:\n" + p1)
+    val p2 = plan(Sampling.stratifiedSample(spark, dir))
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p2).size
+    assert(exchanges == 1, s"expected exactly 1 shuffle, got $exchanges:\n" + p2)
+    assert(p2.contains("Window"), p2)
+  }
+
   test("cosine near-dup plan has no cartesian product") {
     val p = plan(Similarity.cosineNearDup(spark, dir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
