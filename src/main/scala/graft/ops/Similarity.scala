@@ -297,9 +297,10 @@ object Similarity {
 
   // ------------------------------------------------- IVF scale path
 
-  /** Deterministic coarse quantizer: centroid sample by lowest
-    * xxhash64(vec_id) (TakeOrdered, not a full sort), unit-normalized. */
-  private def coarseCentroids(e: DataFrame, nCentroids: Int): Array[(Int, Array[Double])] = {
+  /** Deterministic seed for the coarse quantizer: centroid sample by
+    * lowest xxhash64(vec_id) (TakeOrdered, not a full sort),
+    * unit-normalized. */
+  private def seedCentroids(e: DataFrame, nCentroids: Int): Array[(Int, Array[Double])] = {
     import e.sparkSession.implicits._
     e.select($"vec_id", $"embedding")
       .orderBy(xxhash64($"vec_id"), $"vec_id")
@@ -312,6 +313,73 @@ object Similarity {
         (i, v.map(_ / math.max(n, 1e-12)))
       }
   }
+
+  /** Lloyd iterations for the coarse quantizer (real IVF trains its
+    * centroids; a raw hash sample wastes probes on lopsided cells). */
+  val LloydIters = 2
+
+  /** Fixed-point scale for the Lloyd accumulators: per-dim sums are
+    * EXACT integer (round(x·2^20)) so the recomputed centroids are
+    * bit-stable under any partitioning/shuffle order — a plain double
+    * sum is association-dependent and would break the determinism
+    * contract the aux oracles (and cross-JVM index reuse) rely on. */
+  private val LloydFixed = (1L << 20).toDouble
+
+  /** One Lloyd step: assign each vector to its nearest current
+    * centroid (same kernel + tie rule as [[ivfAssigned]]), recompute
+    * centroids as member means (map-side-combined reduceGroups over
+    * integer accumulators — one shuffle of nCentroids rows),
+    * unit-normalize. Empty cells keep their previous centroid. */
+  private def lloydStep(spark: SparkSession, dir: String,
+      centroids: Array[(Int, Array[Double])]): Array[(Int, Array[Double])] = {
+    import spark.implicits._
+    val cB = spark.sparkContext.broadcast(centroids)
+    val dims = centroids(0)._2.length
+    val sums = embTyped(spark, dir)
+      .mapPartitions { it =>
+        val cs = cB.value
+        it.map { case (_, v) =>
+          val cid = centroidCosines(cs, v).maxBy(_._2)._1
+          (cid, v.map(x => math.round(x * LloydFixed)), 1L)
+        }
+      }
+      .groupByKey(_._1)
+      .reduceGroups { (a, b) =>
+        val s = new Array[Long](dims)
+        var i = 0
+        while (i < dims) { s(i) = a._2(i) + b._2(i); i += 1 }
+        (a._1, s, a._3 + b._3)
+      }
+      .map(_._2)
+      .collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    centroids.map { case (cid, old) =>
+      sums.get(cid) match {
+        case Some((s, n)) =>
+          val mean = s.map(_.toDouble / (n * LloydFixed))
+          val nrm = math.sqrt(mean.map(x => x * x).sum)
+          (cid, mean.map(_ / math.max(nrm, 1e-12)))
+        case None => (cid, old)
+      }
+    }
+  }
+
+  /** Per-JVM cache of TRAINED centroids keyed by the corpus snapshot —
+    * every IVF entry point (query, aux dumps, index build) must see
+    * the identical centroid table or the aux oracle contract silently
+    * breaks; the cache also avoids re-running the Lloyd jobs per call.
+    * Cross-JVM consistency needs no cache: seed + integer-exact Lloyd
+    * are deterministic functions of the corpus. */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Array[(Int, Array[Double])]]()
+
+  private def coarseCentroids(spark: SparkSession, dir: String,
+      nCentroids: Int): Array[(Int, Array[Double])] =
+    centroidCache.computeIfAbsent((corpusSnapshotKey(dir), nCentroids), { _ =>
+      var cs = seedCentroids(emb(spark, dir), nCentroids)
+      (0 until LloydIters).foreach(_ => cs = lloydStep(spark, dir, cs))
+      cs
+    })
 
   /** Cosine of `v` against every centroid — primitive-array kernel. */
   private def centroidCosines(
@@ -371,7 +439,7 @@ object Similarity {
   def ivfTopK(spark: SparkSession, dir: String, k: Int = 5,
               nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     import spark.implicits._
-    val centroids = coarseCentroids(emb(spark, dir), nCentroids)
+    val centroids = coarseCentroids(spark, dir, nCentroids)
     val cB = spark.sparkContext.broadcast(centroids)
     val assigned = ivfAssigned(spark, dir, cB)
     val queries = ivfProbesFull(embTyped(spark, dir), nProbe, cB)
@@ -391,13 +459,13 @@ object Similarity {
   /** Aux dumps for the IVF oracles: the assignment and the full-corpus
     * probe lists (what [[ivfTopK]] joins on). */
   def ivfAssignAux(spark: SparkSession, dir: String, nCentroids: Int = 16): DataFrame = {
-    val cB = spark.sparkContext.broadcast(coarseCentroids(emb(spark, dir), nCentroids))
+    val cB = spark.sparkContext.broadcast(coarseCentroids(spark, dir, nCentroids))
     ivfAssigned(spark, dir, cB).select("vec_id", "cluster")
   }
 
   def ivfProbesAux(spark: SparkSession, dir: String,
                    nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cB = spark.sparkContext.broadcast(coarseCentroids(emb(spark, dir), nCentroids))
+    val cB = spark.sparkContext.broadcast(coarseCentroids(spark, dir, nCentroids))
     ivfProbesFull(embTyped(spark, dir), nProbe, cB).select("vec_id", "cluster")
   }
 
@@ -415,7 +483,7 @@ object Similarity {
   def ivfBatchProbesAux(spark: SparkSession, dir: String, nCentroids: Int = 16,
                         nProbe: Int = 4, nQueries: Int = 64): DataFrame = {
     import spark.implicits._
-    val centroids = coarseCentroids(emb(spark, dir), nCentroids)
+    val centroids = coarseCentroids(spark, dir, nCentroids)
     spark.createDataset(queryBatch(spark, dir, nQueries).toSeq.flatMap { case (id, v) =>
       centroidCosines(centroids, v).sortBy(-_._2).take(nProbe).map(p => (id, p._1))
     }).toDF("vec_id", "cluster")
@@ -451,12 +519,12 @@ object Similarity {
 
   private def ivfIndexDir(spark: SparkSession, dir: String, nCentroids: Int): String =
     synchronized { // serialize same-JVM builders; cross-JVM: see IndexTable
-      val key = corpusSnapshotKey(dir) + "|nc=" + nCentroids
+      val key = corpusSnapshotKey(dir) + "|nc=" + nCentroids + "|cv2" // cv2: Lloyd-trained centroids
       val name = "ivf_" + java.lang.Integer.toHexString(
         java.nio.file.Paths.get(dir).toAbsolutePath.toString.hashCode) + s"_$nCentroids"
       val table = new graft.lake.IndexTable(indexRoot(spark), name)
       table.currentDir(key).getOrElse {
-        val cB = spark.sparkContext.broadcast(coarseCentroids(emb(spark, dir), nCentroids))
+        val cB = spark.sparkContext.broadcast(coarseCentroids(spark, dir, nCentroids))
         table.rebuild(key, Seq("cluster"), ivfAssigned(spark, dir, cB))
       }.toString
     }
@@ -474,7 +542,7 @@ object Similarity {
                          nCentroids: Int = 16, nProbe: Int = 4,
                          nQueries: Int = 64): DataFrame = {
     import spark.implicits._
-    val centroids = coarseCentroids(emb(spark, dir), nCentroids)
+    val centroids = coarseCentroids(spark, dir, nCentroids)
     val index = spark.read.parquet(ivfIndexDir(spark, dir, nCentroids))
 
     // deterministic query batch: tiny by construction, held locally —
