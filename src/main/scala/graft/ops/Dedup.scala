@@ -115,9 +115,21 @@ object Dedup {
       .select($"doc_id", $"bb.band", $"bb.bh")
   }
 
-  def minhashNearDup(spark: SparkSession, dir: String, minJaccardPct: Int = 50): DataFrame = {
+  /** Hot-bucket guard for the LSH band join, same pattern as
+    * [[MaxShingleDf]]/[[MaxChunkDf]]: a band bucket of f docs is f²
+    * candidate pairs, and a mega-cluster of byte-identical docs (which
+    * belongs to EXACT dedup, upstream) would otherwise go quadratic
+    * here. The SAME cap is in the aux-band oracle SQL. */
+  val MaxBandDf = 1000
+
+  def minhashNearDup(spark: SparkSession, dir: String, minJaccardPct: Int = 50,
+                     maxDf: Int = MaxBandDf): DataFrame = {
     import spark.implicits._
-    val buckets = minhashBands(spark, dir)
+    val allBuckets = minhashBands(spark, dir)
+    val dfOk = allBuckets.groupBy($"band", $"bh")
+      .agg(count(lit(1)).as("df")).filter($"df" <= maxDf)
+      .select($"band", $"bh")
+    val buckets = allBuckets.join(dfOk, Seq("band", "bh"))
     val cands = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -270,10 +282,13 @@ object Dedup {
         |     AND a.doc_id < b2.doc_id
         |WHERE bit_count(xor(a.simhash, b2.simhash)) <= 3""".stripMargin),
     "q_minhash_neardup" ->
-      """WITH keys AS (SELECT * FROM read_parquet('{AUX}/minhash_bands/*.parquet')),
+      ("""WITH keys AS (SELECT * FROM read_parquet('{AUX}/minhash_bands/*.parquet')),
+        |ok AS (SELECT band, bh FROM keys GROUP BY 1, 2 HAVING count(*) <= """.stripMargin +
+      MaxBandDf.toString + """),
+        |kj AS (SELECT keys.* FROM keys JOIN ok USING (band, bh)),
         |cands AS (
         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-        |  FROM keys a JOIN keys b ON a.band = b.band AND a.bh = b.bh
+        |  FROM kj a JOIN kj b ON a.band = b.band AND a.bh = b.bh
         |       AND a.doc_id < b.doc_id),
         |toks AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
@@ -290,6 +305,6 @@ object Dedup {
         |SELECT i.a_id, i.b_id, i.inter, sa.n_sh + sb.n_sh - i.inter AS uni
         |FROM inter i JOIN sizes sa ON sa.doc_id = i.a_id
         |JOIN sizes sb ON sb.doc_id = i.b_id
-        |WHERE i.inter * 100 >= (sa.n_sh + sb.n_sh - i.inter) * 50""".stripMargin
+        |WHERE i.inter * 100 >= (sa.n_sh + sb.n_sh - i.inter) * 50""".stripMargin)
   )
 }

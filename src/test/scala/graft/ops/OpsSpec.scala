@@ -367,6 +367,44 @@ class OpsSpec extends SparkTestBase {
       s"cap did not bind: brute=${pureBrute.size} capped=${expected.size}")
   }
 
+  test("minhash band df cap: a mega-cluster of identical docs binds, near-dups survive") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmpDir("hotminhash")
+    def text(seed: Int, n: Int): String =
+      (0 until n).map(i =>
+        "w" + math.floorMod(graft.core.XxHash64.mix(seed.toLong, i.toLong), 500L)).mkString(" ")
+    // 12 byte-identical docs (exact dedup's job, upstream): every band
+    // bucket df=12 > cap -> the cluster is capped out of the LSH join.
+    // One genuine near-dup pair (df=2 buckets) must still come through.
+    val rows = (0 until 12).map(d => (d.toLong, text(1, 30), "en", "s0", 1L)) ++
+      Seq((20L, text(2, 30), "en", "s0", 1L),
+        (21L, text(2, 30) + " extraword", "en", "s0", 1L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val cap = 8
+    val res = Dedup.minhashNearDup(spark, dir, minJaccardPct = 50, maxDf = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // capped-brute oracle replaying the engine's own band keys
+    val bands = Dedup.minhashBands(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val df = bands.groupBy(b => (b._2, b._3)).view.mapValues(_.length).toMap
+    val byDoc = bands.groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    def shs(s: String) = s.split("\\s+").sliding(3).map(_.mkString(" ")).toSet
+    val texts = rows.map(r => r._1 -> shs(r._2)).toMap
+    val ids = rows.map(_._1)
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      if (byDoc(a) & byDoc(b)).exists(k => df(k) <= cap)
+      inter = (texts(a) & texts(b)).size; uni = (texts(a) | texts(b)).size
+      if inter * 100 >= uni * 50
+    } yield (a, b)).toSet
+    assert(res == expected, s"missing=${expected -- res} extra=${res -- expected}")
+    assert(!res.exists { case (a, b) => a < 12 && b < 12 },
+      "mega-cluster pairs must be capped out of the band join")
+    assert(res.contains((20L, 21L)), s"genuine near-dup pair lost: $res")
+  }
+
   test("simhash df cap: a planted hot chunk-bucket binds, capped-brute oracle agrees") {
     val spark0 = spark
     import spark0.implicits._
