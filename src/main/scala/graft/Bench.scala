@@ -260,17 +260,24 @@ object Bench {
       val waves = log.completeWaves
       val admitted = waves.map(w => log.stats(w).getOrElse("admitted", 0L)).sum
       val caps = waves.map(w => log.stats(w).getOrElse("bloom_capacity", 0L)).filter(_ > 0)
-      require(caps.distinct.size > 1,
-        s"adaptive bloom rebuild did not fire in the scale probe: capacities=$caps")
       val t1 = System.nanoTime()
       new Crawler(spark, cfg).run()
       val resumeSecs = (System.nanoTime() - t1) / 1e9
-      require(new graft.lake.RunLog(lake).completeWaves == waves,
-        "scale-probe resume re-ran committed waves")
+      // probe assertions are RECORDED, not thrown: this block runs
+      // AFTER the ~25-min pinned pairs, and an exception here would
+      // destroy the whole round's already-measured scaling evidence
+      // (the query sweep uses the same report-don't-throw convention)
+      val rebuildFired = caps.distinct.size > 1
+      val resumeNoop = new graft.lake.RunLog(lake).completeWaves == waves
+      if (!rebuildFired) System.err.println(
+        s"scale probe: adaptive bloom rebuild did NOT fire (capacities=$caps)")
+      if (!resumeNoop) System.err.println("scale probe: resume re-ran committed waves")
       results("crawl_scale_probe_admitted") = admitted.toDouble
       results("crawl_scale_probe_sec") = probeSecs
       results("crawl_scale_probe_urls_per_sec") = admitted / probeSecs
       results("crawl_scale_probe_resume_sec") = resumeSecs
+      results("crawl_scale_probe_bloom_rebuild_fired") = if (rebuildFired) 1.0 else 0.0
+      results("crawl_scale_probe_resume_noop") = if (resumeNoop) 1.0 else 0.0
       BenchChild.deleteRecursively(java.nio.file.Paths.get(lake))
       spark.stop()
     }
@@ -337,11 +344,6 @@ object BenchChild {
     } finally spark.stop()
   }
 
-  private[graft] def deleteRecursively(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
-  }
+  private[graft] def deleteRecursively(p: java.nio.file.Path): Unit =
+    graft.lake.Lake.deleteRecursively(p)
 }

@@ -211,10 +211,16 @@ class LakeTable(spark: SparkSession, rootDir: String, name: String)
   * Layout: `<root>/<name>/data/key=<md5>/<part>=<v>/part-*.parquet`
   *         `<root>/<name>/_meta/snapshot-0.json` (properties: key)
   *
-  * Concurrent REBUILDS of the same table from different JVMs are not
-  * coordinated (last manifest wins; both write identical content for
-  * the same key) — on a real cluster the atomic-rename commit would go
-  * through the catalog's compare-and-swap like the other tables. */
+  * Concurrent REBUILDS of the same key from different JVMs are safe:
+  * each builder writes into a private staging dir and the key dir is
+  * materialized by one atomic rename — the first builder wins, losers
+  * discard their staging and reuse the winner's files (a bare
+  * overwrite write into the shared key dir would let builder B delete
+  * builder A's part files mid-commit). A key dir therefore only ever
+  * APPEARS complete. Cleanup of superseded key dirs assumes no reader
+  * is still lazily scanning an index for an outdated corpus snapshot
+  * — on a real cluster this retire step would go through the
+  * catalog's compare-and-swap + snapshot expiry like other tables. */
 class IndexTable(rootDir: String, name: String)
     extends ManifestedTable(rootDir, name) {
 
@@ -230,11 +236,28 @@ class IndexTable(rootDir: String, name: String)
       .filter(Files.isDirectory(_))
 
   /** Build (or replace) the index for corpus snapshot `key`: write the
-    * partitioned data, commit the manifest atomically, drop superseded
-    * key directories. Returns the new data directory. */
+    * partitioned data to a staging dir, publish it with one atomic
+    * rename, commit the manifest, drop superseded key directories.
+    * Returns the (possibly concurrently-won) data directory. */
   def rebuild(key: String, partitionCols: Seq[String], df: DataFrame): Path = {
-    val keyDir = dataDir.resolve(s"key=${keyHash(key)}")
-    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(keyDir.toString)
+    val kh = keyHash(key)
+    val keyDir = dataDir.resolve(s"key=$kh")
+    if (!Files.isDirectory(keyDir)) {
+      // staging name: pid-disambiguated, not random — determinism
+      // hygiene (the name never influences any output)
+      val staging = dataDir.resolve(
+        s".stage-$kh-${ProcessHandle.current().pid()}-${stageSeq.incrementAndGet()}")
+      df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(staging.toString)
+      try Files.move(staging, keyDir, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.DirectoryNotEmptyException |
+             _: java.nio.file.FileSystemException =>
+          // lost the race: the winner's dir is complete (it appeared
+          // atomically) — discard ours and read theirs
+          Lake.deleteRecursively(staging)
+      }
+    }
     val files = LakeTable.footerMetasRecursive(keyDir)
     writeSnapshot(SnapshotMeta(name, 0, files, files.map(_.rows).sum,
       Map("key" -> key)))
@@ -243,6 +266,8 @@ class IndexTable(rootDir: String, name: String)
       .foreach(Lake.deleteRecursively)
     keyDir
   }
+
+  private val stageSeq = new java.util.concurrent.atomic.AtomicLong()
 }
 
 /** A manifested table whose data files are ALSO a Spark catalog table,

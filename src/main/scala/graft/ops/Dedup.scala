@@ -22,6 +22,20 @@ object Dedup {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
+  /** Drop hot buckets from a banding table before its self-join:
+    * buckets on `keyCols` holding more than `maxDf` rows are removed
+    * (from the JOIN only). ONE implementation for all four banding
+    * families (ngram shingles express the same idea over their own
+    * shape) so the cap semantics the oracles interpolate can't drift
+    * per call site. */
+  private[ops] def capHotBuckets(buckets: DataFrame, keyCols: Seq[String],
+                                 maxDf: Int): DataFrame = {
+    val dfOk = buckets.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
+      .select(keyCols.map(col): _*)
+    buckets.join(dfOk, keyCols)
+  }
+
   /** Exact dedup by normalized-text fingerprint. */
   def exactDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -125,11 +139,7 @@ object Dedup {
   def minhashNearDup(spark: SparkSession, dir: String, minJaccardPct: Int = 50,
                      maxDf: Int = MaxBandDf): DataFrame = {
     import spark.implicits._
-    val allBuckets = minhashBands(spark, dir)
-    val dfOk = allBuckets.groupBy($"band", $"bh")
-      .agg(count(lit(1)).as("df")).filter($"df" <= maxDf)
-      .select($"band", $"bh")
-    val buckets = allBuckets.join(dfOk, Seq("band", "bh"))
+    val buckets = capHotBuckets(minhashBands(spark, dir), Seq("band", "bh"), maxDf)
     val cands = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -219,12 +229,10 @@ object Dedup {
     import spark.implicits._
     val chunkCols = (0 until 4).map(c =>
       struct(lit(c).as("c"), shiftright($"simhash", c * 16).bitwiseAND(lit(0xffffL)).as("ch")))
-    val allBuckets = sig.select($"doc_id", $"simhash", explode(array(chunkCols: _*)).as("cb"))
-      .select($"doc_id", $"simhash", $"cb.c", $"cb.ch")
-    val dfOk = allBuckets.groupBy($"c", $"ch")
-      .agg(count(lit(1)).as("df")).filter($"df" <= maxDf)
-      .select($"c", $"ch")
-    val buckets = allBuckets.join(dfOk, Seq("c", "ch"))
+    val buckets = capHotBuckets(
+      sig.select($"doc_id", $"simhash", explode(array(chunkCols: _*)).as("cb"))
+        .select($"doc_id", $"simhash", $"cb.c", $"cb.ch"),
+      Seq("c", "ch"), maxDf)
     // codegen'd hamming distance: bit_count(a XOR b) stays inside
     // whole-stage codegen, unlike a Scala UDF
     def ham(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =

@@ -119,13 +119,10 @@ object Multimodal {
         shiftright($"phash", c1 * 8).bitwiseAND(lit(0xffL))
           .bitwiseOR(shiftleft(shiftright($"phash", c2 * 8).bitwiseAND(lit(0xffL)), 8))
           .as("ch"))
-    val allBuckets = images.select($"image_id", $"phash",
-        explode(array(pairCols: _*)).as("cb"))
-      .select($"image_id", $"phash", $"cb.c", $"cb.ch")
-    val dfOk = allBuckets.groupBy($"c", $"ch")
-      .agg(count(lit(1)).as("df")).filter($"df" <= maxDf)
-      .select($"c", $"ch")
-    val buckets = allBuckets.join(dfOk, Seq("c", "ch"))
+    val buckets = Dedup.capHotBuckets(
+      images.select($"image_id", $"phash", explode(array(pairCols: _*)).as("cb"))
+        .select($"image_id", $"phash", $"cb.c", $"cb.ch"),
+      Seq("c", "ch"), maxDf)
     // codegen'd hamming distance: bit_count(a XOR b) stays inside
     // whole-stage codegen, unlike a Scala UDF
     def ham(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =

@@ -76,6 +76,30 @@ object EventStream {
   final case class ClosedSession(user_id: Long, start_ts: Timestamp, end_ts: Timestamp,
       n_events: Long, value_cents: Long)
 
+  /** The ONE gap-fold both closed-session operators share (a second
+    * hand copy of this loop is exactly how stream variants drift):
+    * absorbs a batch of events into the running session in (ts,
+    * event_id) order, emitting a ClosedSession whenever the gap
+    * binds. Returns (emitted, new state). */
+  private def foldSessions(userId: Long, events: Seq[Event],
+      init: Option[SessionAgg]): (Vector[ClosedSession], Option[SessionAgg]) = {
+    val sorted = events.sortBy(e => (e.ts.getTime, e.event_id))
+    val out = Vector.newBuilder[ClosedSession]
+    var s = init.orNull
+    sorted.foreach { e =>
+      val tms = e.ts.getTime
+      val cents = math.floor(e.value * 100).toLong
+      if (s == null) s = SessionAgg(tms, tms, 1L, cents)
+      else if (tms - s.lastTs > SessionGapMs) {
+        out += ClosedSession(userId, new Timestamp(s.startTs),
+          new Timestamp(s.lastTs), s.nEvents, s.cents)
+        s = SessionAgg(tms, tms, 1L, cents)
+      } else s = SessionAgg(s.startTs, math.max(s.lastTs, tms),
+        s.nEvents + 1, s.cents + cents)
+    }
+    (out.result(), Option(s))
+  }
+
   /** REAL sessionization: one output row per CLOSED session, carrying
     * that session's own stats — flatMapGroupsWithState in Append mode
     * (mapGroupsWithState could only emit the running accumulator, so a
@@ -83,35 +107,27 @@ object EventStream {
     * downstream consumer saw them). A session closes when a later
     * event of the same user arrives past the 30-minute event-time gap;
     * with NoTimeout (see [[sessionize]] for why) the trailing session
-    * per user stays open in state — at a real deployment an
-    * EventTimeTimeout flush would drain it on watermark advance.
-    * Value is accumulated in INTEGER cents (floor(value*100), the
-    * q_running_total convention) so stream, batch, and DuckDB
-    * formulations agree bit-for-bit. */
+    * per user stays open in state — [[sessionizeClosedWithTimeout]]
+    * adds the watermark drain. Value is accumulated in INTEGER cents
+    * (floor(value*100), the q_running_total convention) so stream,
+    * batch, and DuckDB formulations agree bit-for-bit.
+    *
+    * CONTRACT: equality with [[sessionizeBatchDf]] holds for input
+    * that is in event-time order ACROSS micro-batches (within a batch
+    * any order is fine — the fold sorts). With no watermark there is
+    * no lateness definition, so a cross-batch out-of-order event is
+    * absorbed into the CURRENT session like any state-machine
+    * sessionizer; the watermarked variant drops such events instead. */
   def sessionizeClosed(events: Dataset[Event]): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
-    val gapMs = SessionGapMs
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionAgg, ClosedSession](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (userId, rows, state: GroupState[SessionAgg]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          val out = Seq.newBuilder[ClosedSession]
-          var s = state.getOption.orNull
-          sorted.foreach { e =>
-            val tms = e.ts.getTime
-            val cents = math.floor(e.value * 100).toLong
-            if (s == null) s = SessionAgg(tms, tms, 1L, cents)
-            else if (tms - s.lastTs > gapMs) {
-              out += ClosedSession(userId, new Timestamp(s.startTs),
-                new Timestamp(s.lastTs), s.nEvents, s.cents)
-              s = SessionAgg(tms, tms, 1L, cents)
-            } else s = SessionAgg(s.startTs, math.max(s.lastTs, tms),
-              s.nEvents + 1, s.cents + cents)
-          }
-          state.update(s)
-          out.result().iterator
+          val (out, s) = foldSessions(userId, rows.toSeq, state.getOption)
+          s.foreach(state.update)
+          out.iterator
       }
   }
 
@@ -125,7 +141,6 @@ object EventStream {
     * deterministic and does not busy-spin bounded local queries. */
   def sessionizeClosedWithTimeout(events: Dataset[Event]): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
-    val gapMs = SessionGapMs
     events
       .withWatermark("ts", "10 minutes")
       .groupByKey(_.user_id)
@@ -138,27 +153,22 @@ object EventStream {
             Iterator.single(ClosedSession(userId, new Timestamp(s.startTs),
               new Timestamp(s.lastTs), s.nEvents, s.cents))
           } else {
-            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            val out = Seq.newBuilder[ClosedSession]
-            var s = state.getOption.orNull
-            sorted.foreach { e =>
-              val tms = e.ts.getTime
-              val cents = math.floor(e.value * 100).toLong
-              if (s == null) s = SessionAgg(tms, tms, 1L, cents)
-              else if (tms - s.lastTs > gapMs) {
-                out += ClosedSession(userId, new Timestamp(s.startTs),
-                  new Timestamp(s.lastTs), s.nEvents, s.cents)
-                s = SessionAgg(tms, tms, 1L, cents)
-              } else s = SessionAgg(s.startTs, math.max(s.lastTs, tms),
-                s.nEvents + 1, s.cents + cents)
+            // the watermark DEFINES lateness here: an event older than
+            // it is dropped (its session may already be emitted —
+            // absorbing it would mutate the current session's stats
+            // and silently diverge from the batch formulation)
+            val wm = state.getCurrentWatermarkMs()
+            val live = rows.toSeq.filter(_.ts.getTime >= wm)
+            val (out, s) = foldSessions(userId, live, state.getOption)
+            s.foreach { agg =>
+              state.update(agg)
+              // the timeout timestamp may not lag the current
+              // watermark (Spark rejects it); a session already past
+              // its gap when its data arrives times out on the next
+              // watermark tick
+              state.setTimeoutTimestamp(math.max(agg.lastTs + SessionGapMs, wm + 1))
             }
-            state.update(s)
-            // the timeout timestamp may not lag the current watermark
-            // (Spark rejects it); a session already past its gap when
-            // its data arrives times out on the next watermark tick
-            state.setTimeoutTimestamp(
-              math.max(s.lastTs + gapMs, state.getCurrentWatermarkMs() + 1))
-            out.result().iterator
+            out.iterator
           }
       }
   }

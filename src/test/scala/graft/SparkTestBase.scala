@@ -15,6 +15,12 @@ trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
 
 object SparkTestBase {
   lazy val session: SparkSession = {
+    // isolated per-run index root, deleted on JVM exit: test corpora
+    // live in fresh temp dirs each run, so pointing the index lake at
+    // the stable default would accumulate one never-superseded table
+    // per run in /tmp
+    val indexRoot = java.nio.file.Files.createTempDirectory("graft_test_index")
+    sys.addShutdownHook { graft.lake.Lake.deleteRecursively(indexRoot) }
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
@@ -22,6 +28,7 @@ object SparkTestBase {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.graft.indexRoot", indexRoot.toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -1,6 +1,7 @@
 package graft.lake
 
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 
 import graft.SparkTestBase
 
@@ -42,5 +43,15 @@ class IndexTableSpec extends SparkTestBase {
     // a second table instance (new "JVM") sees the committed index
     val t2 = new IndexTable(root, "ivf_test")
     assert(t2.currentDir("k2").contains(d2))
+
+    // re-building an already-published key is an idempotent fast path
+    // (the key dir only ever APPEARS atomically, so its existence means
+    // complete): no rewrite, no staging residue
+    val d2again = t2.rebuild("k2", Seq("cluster"),
+      Seq((9L, 9)).toDF("vec_id", "cluster")) // would differ if rewritten
+    assert(d2again == d2)
+    assert(spark.read.parquet(d2.toString).count() == 2, "winner's data must be kept")
+    assert(!Files.list(d2.getParent).iterator().asScala
+      .exists(_.getFileName.toString.startsWith(".stage-")), "staging residue left")
   }
 }

@@ -223,6 +223,42 @@ class StreamingSpec extends SparkTestBase {
     assert(drained == Set((10L, ts(0), ts(2), 2L, 375L)), drained.toString)
   }
 
+  test("events older than the watermark are dropped, not absorbed into a wrong session") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val mem = MemoryStream[EventStream.Event]
+    val q = EventStream.sessionizeClosedWithTimeout(mem.toDS())
+      .writeStream.format("memory").queryName("late_sessions")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(
+      EventStream.Event(1L, ts(0), 10L, "click", 1.0),
+      EventStream.Event(2L, ts(2), 10L, "view", 2.0))
+    q.processAllAvailable()
+    // push the watermark to ts(110); user 10's session drains below
+    mem.addData(EventStream.Event(99L, ts(120), 99L, "tick", 0.0))
+    q.processAllAvailable()
+    mem.addData(EventStream.Event(98L, ts(121), 98L, "tick", 0.0))
+    q.processAllAvailable()
+    // a LATE event (ts(5) << watermark ts(110)): with no drop guard it
+    // would open a spurious second session for user 10 whose stats
+    // duplicate already-emitted data; it must be ignored entirely
+    mem.addData(EventStream.Event(3L, ts(5), 10L, "click", 9.0))
+    q.processAllAvailable()
+    mem.addData(EventStream.Event(97L, ts(240), 97L, "tick", 0.0))
+    q.processAllAvailable()
+    mem.addData(EventStream.Event(96L, ts(241), 96L, "tick", 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("late_sessions").filter($"user_id" === 10L).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq((10L, ts(0), ts(2), 2L, 300L)),
+      s"late event leaked into a session: ${out.toSeq}")
+  }
+
   test("mapGroupsWithState sessionization accumulates per-user state") {
     val spark0 = spark
     import spark0.implicits._
