@@ -37,6 +37,8 @@ object SparkEntry {
     "q_range_join" -> (Relational.rangeJoin _),
     "q_rollup_agg" -> (Relational.rollupAgg _),
     "q_cube_agg" -> (Relational.cubeAgg _),
+    "q_pivot" -> (Relational.pivotCounts _),
+    "q_intersect" -> (Relational.intersectKeys _),
     "q_running_total" -> (Relational.runningTotal _),
     "q_lead_lag" -> (Relational.leadLag _),
     "q_sessionize" -> (graft.streaming.EventStream.sessionizeBatch _),

@@ -180,6 +180,33 @@ object Relational {
         lead($"event_type", 1).over(w).as("next_type"))
   }
 
+  /** PIVOT — per day-of-week event counts spread into one column per
+    * event type. The pivot VALUES are pinned (the scale rule: an
+    * unpinned pivot first runs a distinct job over the full table just
+    * to discover the columns), so this compiles to one conditional
+    * aggregation with map-side partials, a single shuffle on dow.
+    * Empty cells are 0 on both engines (Spark pivot yields null there;
+    * na.fill aligns it with DuckDB's FILTER count). */
+  def pivotCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "events")
+      .groupBy(dayofweek($"ts").cast("bigint").as("dow"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+  }
+
+  /** INTERSECT (distinct set intersection) — customers holding BOTH a
+    * high-value and an urgent order; compiles to a left-semi join over
+    * distinct keys, the same equi-join family as the rest of the set
+    * ops (U1/U2). */
+  def intersectKeys(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = t(spark, dir, "orders")
+    o.filter($"o_totalprice" > 150000.0).select($"o_custkey")
+      .intersect(o.filter($"o_orderpriority" === "1-URGENT").select($"o_custkey"))
+  }
+
   /** Grouping sets (CUBE) — all four aggregation granularities of
     * (event_type, day-of-week) in one Expand pass. */
   def cubeAgg(spark: SparkSession, dir: String): DataFrame = {
@@ -200,6 +227,18 @@ object Relational {
   val oracle: Map[String, String] = Map(
     "q1_agg" ->
       "SELECT l_returnflag, sum(l_quantity) AS sum_qty FROM lineitem GROUP BY 1",
+    "q_pivot" ->
+      """SELECT dayofweek(ts) + 1 AS dow,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin,
     "q_anti_join" ->
       """SELECT c_custkey FROM customer c WHERE NOT EXISTS
         |(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000.0)""".stripMargin,
