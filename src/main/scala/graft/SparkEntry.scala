@@ -51,6 +51,7 @@ object SparkEntry {
     // --- text analysis ---
     "q_token_count" -> (TextOps.tokenCount _),
     "q_bpe_token_count" -> (TextOps.bpeTokenCount _),
+    "q_sequence_packing" -> (TextOps.sequencePacking _),
     "q_quality" -> (TextOps.qualityScore _),
     "q_lang_id" -> (TextOps.langId _),
     "q_fingerprint" -> (TextOps.fingerprint _),
@@ -104,7 +105,8 @@ object SparkEntry {
 
   /** Deterministic intermediate dumps for the `{AUX}` oracles: name ->
     * builder of the signature/band-key DataFrame the oracle SQL
-    * replays. Verify writes each to `<outDir>/aux/<name>` (parquet) and
+    * replays. Verify writes each to `<outDir>_aux/<name>` (parquet; a
+    * SIBLING of outDir so the driver's result glob skips it) and
     * substitutes `{AUX}` with that aux root before dumping
     * oracle_sql.json. */
   def oracleAux: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -49,6 +49,35 @@ object TextOps {
         .cast("bigint").as("n_bpe"))
   }
 
+  /** Sequence-length budget for [[sequencePacking]]: 2048 tokens per
+    * training window. A power of two so window ids are bit shifts —
+    * exact identical integer math in Spark and DuckDB. */
+  val SeqLenBits = 11 // 2^11 = 2048
+
+  /** GPT-style sequence packing: all documents of a source are
+    * concatenated in doc_id order and split into fixed 2048-token
+    * training windows (documents may straddle boundaries — the
+    * standard pretraining layout). Emits each doc's global token
+    * offset and the first/last window it lands in: exactly what a
+    * loader needs to materialize window w (`seq_first <= w <=
+    * seq_last`). One shuffle on source (window cumsum), map-side
+    * nothing to combine — the prefix sum IS the operator; at 100 TB
+    * the per-source ordering key spreads sources across the cluster
+    * and each partition's running sum is linear. */
+  def sequencePacking(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs(spark, dir)
+      .select($"doc_id", $"source",
+        size(split(trim($"text"), "\\s+")).cast("bigint").as("n_tokens"))
+      .withColumn("start_offset", coalesce(sum($"n_tokens").over(w), lit(0L)))
+      .select($"doc_id", $"source", $"n_tokens", $"start_offset",
+        shiftright($"start_offset", SeqLenBits).as("seq_first"),
+        shiftright($"start_offset" + $"n_tokens" - 1, SeqLenBits).as("seq_last"))
+  }
+
   /** Quality scoring: integer component counts + a categorical label,
     * deterministic and oracle-checkable. */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
@@ -104,6 +133,19 @@ object TextOps {
     "q_token_count" ->
       """SELECT doc_id, CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
         |FROM documents""".stripMargin,
+    "q_sequence_packing" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |offs AS (
+        |  SELECT *, CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+        |  FROM toks)
+        |SELECT doc_id, source, n_tokens, start_offset,
+        |  start_offset >> 11 AS seq_first,
+        |  (start_offset + n_tokens - 1) >> 11 AS seq_last
+        |FROM offs""".stripMargin,
     "q_quality" -> {
       val nTok = """CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)"""
       val nStop = s"(${occSql(" the ")} + ${occSql(" and ")} + ${occSql(" a ")})"

@@ -282,6 +282,40 @@ class OpsSpec extends SparkTestBase {
     assert(brute.nonEmpty, "test corpus should contain phash near-dups")
   }
 
+  // ------------------------------------------- crawl-lake composition
+
+  test("multimodal ops compose over the crawler's OWN images table") {
+    import graft.core.SynthWeb
+    import graft.crawl.{CrawlConfig, Crawler}
+    // the integration contract: a user points the pipeline operators
+    // at what the crawl engine wrote — no adapters, same schema
+    val crawler = new Crawler(spark, CrawlConfig(
+      web = SynthWeb.WebConfig(nHosts = 3, pagesPerHost = 10, imagesPerHost = 6),
+      seeds = SynthWeb.seeds(3), lakeRoot = tmpDir("opslake"),
+      fetchPartitions = 8, saltSlots = 2, seenBuckets = 8))
+    crawler.run()
+    val imgs = crawler.imagesT.readAll().cache()
+    val n = imgs.count()
+    assert(n > 0, "crawl produced no images")
+    // real decode over the crawled binary column round-trips dims
+    val feats = Multimodal.imageFeatures(imgs).collect()
+    assert(feats.length == n)
+    val dims = imgs.select("image_id", "w", "h").collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getInt(2))).toMap
+    feats.foreach(r => assert((r.getInt(1), r.getInt(2)) == dims(r.getString(0))))
+    // near-dup banding over the crawled phash column equals brute force
+    val hashes = imgs.select("image_id", "phash").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val brute = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 6
+    } yield (a, b)).toSet
+    val res = Multimodal.phashNearDup(imgs, maxHamming = 6)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(res == brute, s"missing=${brute -- res} extra=${res -- brute}")
+    imgs.unpersist()
+  }
+
   // ----------------------------------------------------------- sketches
 
   test("histogram percentile picks the exact rank bucket per (hour, type)") {
