@@ -246,7 +246,7 @@ class IndexTable(rootDir: String, name: String)
       // staging name: pid-disambiguated, not random — determinism
       // hygiene (the name never influences any output)
       val staging = dataDir.resolve(
-        s".stage-$kh-${ProcessHandle.current().pid()}-${stageSeq.incrementAndGet()}")
+        s".stage-$kh-${ProcessHandle.current().pid()}-${IndexTable.stageSeq.incrementAndGet()}")
       df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(staging.toString)
       try Files.move(staging, keyDir, StandardCopyOption.ATOMIC_MOVE)
       catch {
@@ -267,7 +267,14 @@ class IndexTable(rootDir: String, name: String)
     keyDir
   }
 
-  private val stageSeq = new java.util.concurrent.atomic.AtomicLong()
+}
+
+object IndexTable {
+  /** JVM-GLOBAL staging counter: pid disambiguates across JVMs, this
+    * across builder instances within one JVM (a per-instance counter
+    * collided when two instances raced the same key — caught by
+    * IndexTableSpec's concurrency test). */
+  private[lake] val stageSeq = new java.util.concurrent.atomic.AtomicLong()
 }
 
 /** A manifested table whose data files are ALSO a Spark catalog table,

@@ -183,10 +183,12 @@ object Relational {
   /** PIVOT — per day-of-week event counts spread into one column per
     * event type. The pivot VALUES are pinned (the scale rule: an
     * unpinned pivot first runs a distinct job over the full table just
-    * to discover the columns), so this compiles to one conditional
-    * aggregation with map-side partials, a single shuffle on dow.
-    * Empty cells are 0 on both engines (Spark pivot yields null there;
-    * na.fill aligns it with DuckDB's FILTER count). */
+    * to discover the columns). Catalyst compiles it two-phase: one
+    * full-data aggregation on (dow, event_type) with map-side partials,
+    * then PivotFirst over the already-reduced dow x type table (35
+    * rows here — sketch-sized at any input scale). Empty cells are 0
+    * on both engines (Spark pivot yields null there; na.fill aligns it
+    * with DuckDB's FILTER count). */
   def pivotCounts(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     t(spark, dir, "events")

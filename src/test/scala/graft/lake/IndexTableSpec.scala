@@ -54,4 +54,29 @@ class IndexTableSpec extends SparkTestBase {
     assert(!Files.list(d2.getParent).iterator().asScala
       .exists(_.getFileName.toString.startsWith(".stage-")), "staging residue left")
   }
+
+  test("concurrent rebuilds of the same key: one atomic publish, no torn data") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = tmpDir("idxrace")
+    // two independent builders (simulating two JVMs) race on a cold
+    // key: each stages privately, exactly one rename wins, the loser
+    // discards its staging and reuses the winner's complete dir
+    val rows = (0 until 200).map(i => (i.toLong, i % 4))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dirs = Await.result(Future.sequence((0 until 2).map { _ =>
+      Future {
+        val t = new IndexTable(root, "ivf_race")
+        t.rebuild("k1", Seq("cluster"), rows.toDF("vec_id", "cluster"))
+      }
+    }), Duration.Inf).toVector
+    assert(dirs.distinct.size == 1, s"builders disagree on the key dir: $dirs")
+    val back = spark.read.parquet(dirs.head.toString)
+    assert(back.count() == 200, "published index torn by the race")
+    assert(new IndexTable(root, "ivf_race").currentDir("k1").contains(dirs.head))
+    assert(!Files.list(dirs.head.getParent).iterator().asScala
+      .exists(_.getFileName.toString.startsWith(".stage-")), "staging residue left")
+  }
 }

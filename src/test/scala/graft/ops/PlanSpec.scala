@@ -158,6 +158,30 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("partial_count"), "no map-side combine on the full-data pass:\n" + p)
   }
 
+  test("pinned-values pivot: one full-data shuffle + one sketch-sized pivot shuffle") {
+    val p = plan(Relational.pivotCounts(spark, dir))
+    // phase 1 aggregates the full table by (dow, event_type) with
+    // map-side partials; phase 2 (PivotFirst) shuffles only the
+    // reduced dow x type table — an unpinned pivot would ALSO run a
+    // full-table distinct job just to discover the columns
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges == 2, s"expected 2 shuffles (1 full-data + 1 sketch-sized), got $exchanges:\n" + p)
+    assert(p.contains("partial_"), "no map-side combine on the full-data pass:\n" + p)
+  }
+
+  test("intersect compiles to a semi-join family plan, no all-pairs fallback") {
+    val p = plan(Relational.intersectKeys(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Semi") || p.contains("Join"), p)
+  }
+
+  test("sequence packing rides one source shuffle (the prefix sum IS the operator)") {
+    val p = plan(TextOps.sequencePacking(spark, dir))
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly 1 shuffle, got $exchanges:\n" + p)
+    assert(p.contains("Window"), p)
+  }
+
   test("hash sample is scan -> filter with no shuffle; stratified rides one source shuffle") {
     val p1 = plan(Sampling.hashSample(spark, dir))
     assert(!p1.contains("Exchange"), "bernoulli-by-hash must not shuffle:\n" + p1)
