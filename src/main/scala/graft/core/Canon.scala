@@ -218,22 +218,55 @@ object Canon {
     case c              => sb.append(c)
   }
 
-  /** Non-ASCII code points are UTF-8 percent-encoded (url crate: `é` →
-    * `%C3%A9`), by CODE POINT so astral chars encode as one 4-byte
-    * sequence, not two escaped surrogates. Rendered paths are
-    * therefore always ASCII (CanonWideningSpec property). */
-  private def encodePath(p: String): String = {
+  /** WHATWG query percent-encode set for special URLs (url crate
+    * `query()` serialization): C0 controls, space, `"` `#` `<` `>`
+    * `'`, DEL. Existing `%xx` passes through verbatim like the path. */
+  private def encodeQueryChar(c: Char, sb: StringBuilder): Unit = c match {
+    case ' '            => sb.append("%20")
+    case '"'            => sb.append("%22")
+    case '#'            => sb.append("%23")
+    case '<'            => sb.append("%3C")
+    case '>'            => sb.append("%3E")
+    case '\''           => sb.append("%27")
+    case c if c < 0x20 || c == 0x7f => sb.append(f"%%${c.toInt}%02X")
+    case c              => sb.append(c)
+  }
+
+  /** WHATWG fragment percent-encode set: C0 controls, space,
+    * `"` `<` `>` `` ` ``, DEL. */
+  private def encodeFragmentChar(c: Char, sb: StringBuilder): Unit = c match {
+    case ' '            => sb.append("%20")
+    case '"'            => sb.append("%22")
+    case '<'            => sb.append("%3C")
+    case '>'            => sb.append("%3E")
+    case '`'            => sb.append("%60")
+    case c if c < 0x20 || c == 0x7f => sb.append(f"%%${c.toInt}%02X")
+    case c              => sb.append(c)
+  }
+
+  /** Shared serializer loop: ASCII through the component's encode set,
+    * non-ASCII UTF-8 percent-encoded (url crate: `é` → `%C3%A9`), by
+    * CODE POINT so astral chars encode as one 4-byte sequence, not two
+    * escaped surrogates. Rendered URLs are therefore always ASCII
+    * (CanonWideningSpec property). Encoding happens at CONSTRUCTION
+    * (parse/join), like the url crate's internal form, so parse∘render
+    * is a fixpoint and equality/dedup see the canonical bytes. */
+  private def encodeComponent(p: String, enc: (Char, StringBuilder) => Unit): String = {
     val sb = new StringBuilder(p.length)
     var i = 0
     while (i < p.length) {
       val cp = p.codePointAt(i)
-      if (cp < 0x80) encodePathChar(cp.toChar, sb)
+      if (cp < 0x80) enc(cp.toChar, sb)
       else new String(Character.toChars(cp)).getBytes("UTF-8")
         .foreach(b => sb.append(f"%%${b & 0xff}%02X"))
       i += Character.charCount(cp)
     }
     sb.toString
   }
+
+  private def encodePath(p: String): String = encodeComponent(p, encodePathChar)
+  private def encodeQuery(q: String): String = encodeComponent(q, encodeQueryChar)
+  private def encodeFragment(f: String): String = encodeComponent(f, encodeFragmentChar)
 
   /** WHATWG dot-segment resolution; excess ".." at root is discarded. */
   def normalizePath(path: String): String = {
@@ -280,10 +313,10 @@ object Canon {
     // split off fragment, then query, then path
     var fragment: Option[String] = None
     val hashIdx = rest.indexOf('#')
-    if (hashIdx >= 0) { fragment = Some(rest.substring(hashIdx + 1)); rest = rest.substring(0, hashIdx) }
+    if (hashIdx >= 0) { fragment = Some(encodeFragment(rest.substring(hashIdx + 1))); rest = rest.substring(0, hashIdx) }
     var query: Option[String] = None
     val qIdx = rest.indexOf('?')
-    if (qIdx >= 0) { query = Some(rest.substring(qIdx + 1)); rest = rest.substring(0, qIdx) }
+    if (qIdx >= 0) { query = Some(encodeQuery(rest.substring(qIdx + 1))); rest = rest.substring(0, qIdx) }
     val slashIdx = rest.indexOf('/')
     val (authority, path0) =
       if (slashIdx >= 0) (rest.substring(0, slashIdx), rest.substring(slashIdx)) else (rest, "")
@@ -334,21 +367,22 @@ object Canon {
         case _           => None
       }
     } else if (l.startsWith("#")) {
-      Some(base.copy(fragment = Some(l.substring(1))))
+      Some(base.copy(fragment = Some(encodeFragment(l.substring(1)))))
     } else if (l.startsWith("?")) {
       val hashIdx = l.indexOf('#')
       if (hashIdx >= 0)
-        Some(base.copy(query = Some(l.substring(1, hashIdx)), fragment = Some(l.substring(hashIdx + 1))))
-      else Some(base.copy(query = Some(l.substring(1)), fragment = None))
+        Some(base.copy(query = Some(encodeQuery(l.substring(1, hashIdx))),
+          fragment = Some(encodeFragment(l.substring(hashIdx + 1)))))
+      else Some(base.copy(query = Some(encodeQuery(l.substring(1))), fragment = None))
     } else {
       // path (absolute or relative) [+ query][+ fragment]
       var rest = l
       var fragment: Option[String] = None
       val hashIdx = rest.indexOf('#')
-      if (hashIdx >= 0) { fragment = Some(rest.substring(hashIdx + 1)); rest = rest.substring(0, hashIdx) }
+      if (hashIdx >= 0) { fragment = Some(encodeFragment(rest.substring(hashIdx + 1))); rest = rest.substring(0, hashIdx) }
       var query: Option[String] = None
       val qIdx = rest.indexOf('?')
-      if (qIdx >= 0) { query = Some(rest.substring(qIdx + 1)); rest = rest.substring(0, qIdx) }
+      if (qIdx >= 0) { query = Some(encodeQuery(rest.substring(qIdx + 1))); rest = rest.substring(0, qIdx) }
       val merged =
         if (rest.startsWith("/")) rest
         else {

@@ -152,10 +152,9 @@ class CanonWideningSpec extends AnyFunSuite {
       6 -> Gen.alphaNumChar, 1 -> Gen.oneOf(' ', '"', '<', '>', '`', '{', '}', '/'),
       1 -> Gen.oneOf('é', 'ü', '例', '\u0007', '%'),
       1 -> Gen.chooseNum(0x20, 0x7e).map(_.toChar))
-    // '?' / '#' split off query/fragment before the path — the r4
-    // widening is scoped to PATH serialization (query/fragment stay
-    // raw, as before), so keep them out of the generated path
-    val path = Gen.listOf(pathChar).map(_.mkString.filter(c => c != '?' && c != '#'))
+    // '?' / '#' may appear: they split query/fragment, which have
+    // their own WHATWG encode sets since the second r4 widening
+    val path = Gen.listOf(pathChar).map(_.mkString)
     check(Prop.forAll(path) { p =>
       parse(s"http://h0.test/$p") match {
         case None => true // e.g. a stray '?'-free malformed shape — none here
@@ -164,5 +163,24 @@ class CanonWideningSpec extends AnyFunSuite {
           r.forall(_ < 0x80) && parse(r).contains(u) && parse(r).get.render == r
       }
     })
+  }
+
+  test("query and fragment encode their WHATWG sets (url crate serialization)") {
+    assert(render("http://h0.test/p?a b'c<d") == "http://h0.test/p?a%20b%27c%3Cd")
+    assert(render("http://h0.test/p?q=é") == "http://h0.test/p?q=%C3%A9")
+    assert(render("http://h0.test/p#a b`c") == "http://h0.test/p#a%20b%60c")
+    assert(render("http://h0.test/p#例") == "http://h0.test/p#%E4%BE%8B")
+    // set differences: ' encodes in query but NOT fragment; ` encodes
+    // in fragment but NOT query
+    assert(render("http://h0.test/p#a'c") == "http://h0.test/p#a'c")
+    assert(render("http://h0.test/p?a`c") == "http://h0.test/p?a`c")
+    // existing escapes pass through verbatim, case kept (like paths)
+    assert(render("http://h0.test/p?x=%3a#f%3a") == "http://h0.test/p?x=%3a#f%3a")
+    // resolve-time links encode too (join constructs the components)
+    val origin = parse("http://h0.test/").get.origin
+    assert(Canon.resolveLink("?q=a b", origin).map(_.render)
+      .contains("http://h0.test/?q=a%20b"))
+    assert(Canon.resolveLink("#s é", origin).map(_.render)
+      .contains("http://h0.test/#s%20%C3%A9"))
   }
 }
