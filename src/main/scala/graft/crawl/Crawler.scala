@@ -70,8 +70,21 @@ final case class ImageResult(
   * (archive, host_visits — src/main.rs:51-52) lives in lake tables, so
   * the design point is the table size, not driver memory.
   */
+object Crawler {
+  /** Fixed observability granularity of the per-wave metrics rows —
+    * independent of the storage bucketing (seenBuckets), which is a
+    * layout knob; metrics stay comparable across configs. */
+  val MetricsHostBuckets = 32
+}
+
 class Crawler(spark: SparkSession, cfg: CrawlConfig) extends Serializable {
   import spark.implicits._
+
+  // saltSlots > fetchPartitions would make the salted key a
+  // pmod-by-zero (ANSI: DIVIDE_BY_ZERO at runtime; non-ANSI: null keys
+  // collapsing the fetch stage into one partition) - reject up front
+  require(cfg.saltSlots >= 1 && cfg.saltSlots <= cfg.fetchPartitions,
+    s"saltSlots (${cfg.saltSlots}) must be in [1, fetchPartitions=${cfg.fetchPartitions}]")
 
   val frontierT = new LakeTable(spark, cfg.lakeRoot, "frontier")
   // seen is hash-BUCKETED on the dedup key (SURVEY.md §2.5 J1): the
@@ -146,7 +159,7 @@ class Crawler(spark: SparkSession, cfg: CrawlConfig) extends Serializable {
 
     // --- engine extension: robots.txt cache + filter (OFF in conformance)
     val (afterRobots, robotsDropped) =
-      if (!cfg.robots) (frontier, spark.emptyDataFrame)
+      if (!cfg.robots) (frontier, frontier.limit(0))
       else applyRobots(wave, frontier)
 
     // --- A3 + J2: budget-capped admission.
@@ -185,7 +198,8 @@ class Crawler(spark: SparkSession, cfg: CrawlConfig) extends Serializable {
 
     val admittedCount = timed(wave, "admit+count")(admitted.count()) // materializes the cache
 
-    // target ~512k rows per committed file; admitted is cached, so the
+    // target ~128k rows per committed file (64-file cap); admitted is
+    // cached, so the
     // budget, pages and images chains below run CONCURRENTLY
     // (independent jobs on the shared scheduler), shortening the wave's
     // fixed-cost path to the slowest chain.
@@ -236,8 +250,7 @@ class Crawler(spark: SparkSession, cfg: CrawlConfig) extends Serializable {
       // joins `seenReady` first. This overlaps the longest stage of
       // wave k+1 with the commit tail of wave k — at high core counts
       // that tail is the non-scaling wave cost.
-      val parsedWarm = Future { timed(wave, "fetch")(parsed.count()) }
-      Await.result(parsedWarm, Duration.Inf)
+      timed(wave, "fetch")(parsed.count())
       Await.result(seenReady, Duration.Inf)
 
       // --- U1: children across all pages; M4 per-page dedup already done
@@ -369,7 +382,8 @@ class Crawler(spark: SparkSession, cfg: CrawlConfig) extends Serializable {
     // Committed ASYNCHRONOUSLY (chained, so run-log marks stay ordered):
     // metrics are outputs, never inputs of a wave, so the next wave's
     // compute overlaps this commit; run()/awaitQuiesce joins the tail.
-    def b(c: org.apache.spark.sql.Column) = pmod(xxhash64(c), lit(32)).cast("int")
+    def b(c: org.apache.spark.sql.Column) =
+      pmod(xxhash64(c), lit(Crawler.MetricsHostBuckets)).cast("int")
     val raw = frontier.select(b($"host").as("hb"), lit("candidates").as("m"), lit(1L).as("v"))
       .unionByName(admitted.select(b($"host").as("hb"), lit("admitted").as("m"), lit(1L).as("v")))
       .unionByName(parsed.toDF().select(b($"phost").as("hb"),
@@ -379,11 +393,15 @@ class Crawler(spark: SparkSession, cfg: CrawlConfig) extends Serializable {
         ($"refs" - 1).cast("long").as("v")))
       .unionByName(fetchedImages.filter($"ok").select(b(hostCol($"image_id")).as("hb"),
         lit("images_written").as("m"), lit(1L).as("v")))
+      .unionByName(robotsDropped.select(b($"host").as("hb"),
+        lit("robots_dropped").as("m"), lit(1L).as("v")))
     def m(name: String) = sum(when($"m" === name, $"v").otherwise(0L)).as(name)
     val metrics = raw.groupBy($"hb".as("host_bucket"))
       .agg(m("candidates"), m("admitted"), m("fetch_ok"), m("fetch_err"),
-        m("novel"), m("dup_dropped"), m("images_written"))
-      .withColumn("budget_dropped", $"candidates" - $"admitted")
+        m("novel"), m("dup_dropped"), m("images_written"), m("robots_dropped"))
+      // robots-blocked rows never reached the budget window - without
+      // the subtraction they were misreported as budget drops
+      .withColumn("budget_dropped", $"candidates" - $"admitted" - $"robots_dropped")
       .withColumn("wave", lit(wave))
     val waveWallMs = (System.nanoTime() - waveT0) / 1000000L
     val prevTail = pendingTail
@@ -429,18 +447,24 @@ class Crawler(spark: SparkSession, cfg: CrawlConfig) extends Serializable {
     * host-distinct Dataset) — at web scale (10^7+ hosts) a driver-side
     * collect+loop would serialize the wave. */
   private def applyRobots(wave: Int, frontier: DataFrame): (DataFrame, DataFrame) = {
-    val cache = robotsT.readAll()
+    // readThrough(wave), NOT readAll: after a mid-wave crash the torn
+    // robots snapshot wave+1 may hold the crashed attempt's rows — a
+    // readAll cache would treat those hosts as known, fetch nothing,
+    // and the overwrite commit below would then DELETE their rules
+    // (the resumed run would crawl disallowed URLs). Scoping to the
+    // complete waves refetches them and the commit stays idempotent.
+    val cache = robotsT.readThrough(wave)
     val fetched = frontier.select($"host").distinct()
       .join(cache.select($"host"), Seq("host"), "left_anti")
       .as[String]
       .mapPartitions(_.map(h => (h, SynthWeb.robots(h))))
       .toDF("host", "disallow")
     robotsT.commit(wave + 1, fetched.repartition(1))
-    val allRules = robotsT.readAll()
+    val allRules = robotsT.readThrough(wave + 1)
     // same adaptive dim-join rule as the budget: per-host rules stop
     // broadcasting once the host space outgrows the threshold
     val rulesJoin =
-      if (robotsT.rowCountThrough(Int.MaxValue) <= cfg.budgetBroadcastMaxRows)
+      if (robotsT.rowCountThrough(wave + 1) <= cfg.budgetBroadcastMaxRows)
         broadcast(allRules)
       else allRules
     val pathCol = regexp_replace($"url", "^[a-z][a-z0-9+.-]*://[^/]*", "")
@@ -464,8 +488,12 @@ class Crawler(spark: SparkSession, cfg: CrawlConfig) extends Serializable {
         initRun(); 0
       case Some(k) =>
         // resume: rebuild the bloom from the COMPLETE waves only (a torn
-        // wave k+1 snapshot must not leak into wave k's re-run)
-        val seenRows = seenT.rowCountThrough(k)
+        // wave k+1 snapshot must not leak into wave k's re-run). Skip
+        // entirely when the frontier is empty - a finished crawl's
+        // re-run must be a no-op, not a full-seen-table aggregation
+        val seenRows =
+          if (frontierT.snapshot(k).get.totalRows == 0) 0L
+          else seenT.rowCountThrough(k)
         if (cfg.bloom && seenRows > 0) {
           if (bloomState.wouldSaturate(seenRows)) bloomState.growTo(seenRows)
           val s = seenT.readThrough(k)

@@ -94,10 +94,15 @@ class PartitionedBloom(val buckets: Int, expectedItems: Long, fpp: Double) {
   // added; when an add would cross capacity it calls [[growTo]] and
   // re-adds the FULL seen set at the larger size — one distributed
   // aggregation, the same job shape as the per-wave merge.
-  private var perBucketItems = math.max(expectedItems / buckets, 1024L)
-  private var numBits = BloomFilter.create(perBucketItems, fpp).bitSize()
+  // @volatile: the metrics tail of wave k reads capacity/itemsAdded
+  // while wave k+1's escaped bloom merge may be mutating them on
+  // another thread — volatile gives the reads a happens-before edge
+  // (and atomic 64-bit loads); attribution can still be one wave off
+  // by design, which the run-log comment documents.
+  @volatile private var perBucketItems = math.max(expectedItems / buckets, 1024L)
+  @volatile private var numBits = BloomFilter.create(perBucketItems, fpp).bitSize()
   private val filters: Array[BloomFilter] = new Array[BloomFilter](buckets)
-  private var added = 0L
+  @volatile private var added = 0L
 
   def isEmpty: Boolean = filters.forall(_ == null)
 
@@ -132,10 +137,31 @@ class PartitionedBloom(val buckets: Int, expectedItems: Long, fpp: Double) {
       GraftSqlBridge.expression(hashCol),
       Literal(perBucketItems), Literal(numBits)).toAggregateExpression())
 
+  /** Spark's BloomFilterAggregate SILENTLY clamps its requested
+    * estimatedNumItems/numBits with Math.min against these session
+    * confs (verified in the 4.1.2 bytecode; defaults 4M items / 64M
+    * bits). Past ~7M items per bucket the adaptive growTo sizing would
+    * otherwise become a no-op — capacity accounting doubling on a
+    * fiction while every built filter stays 8 MB and the realized fpp
+    * climbs toward 1 at the 10^10 design point. Raise the caps to the
+    * current sizing before every build (BloomSaturationSpec asserts
+    * the realized bitSize tracks the request past a lowered cap). */
+  private def ensureAggLimits(spark: SparkSession): Unit = {
+    def raise(key: String, atLeast: Long): Unit =
+      if (spark.conf.get(key).toLong < atLeast) spark.conf.set(key, atLeast.toString)
+    raise("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", perBucketItems)
+    raise("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", numBits)
+  }
+
+  /** Realized bit size of one bucket's filter (test observability). */
+  private[crawl] def realizedBitSize(b: Int): Option[Long] =
+    Option(filters(b)).map(_.bitSize())
+
   /** Merge `df`'s hash values into the per-bucket filters. `rowCount`
     * feeds the saturation accounting (callers already know it from the
     * wave's novel count / the seen snapshot footers — no extra job). */
   def add(df: DataFrame, bucketCol: Column, hashCol: Column, rowCount: Long): Unit = {
+    ensureAggLimits(df.sparkSession)
     val rows = df.groupBy(bucketCol.as("b")).agg(bloomAggCol(hashCol).as("bf")).collect()
     rows.foreach { r =>
       val b = r.getInt(0)

@@ -51,6 +51,37 @@ class BloomSaturationSpec extends SparkTestBase {
     info(f"selectivity: saturated fp-rate $satFp%.3f -> rebuilt $freshFp%.4f (capacity $cap -> ${pb.capacity})")
   }
 
+  test("aggregate-built filters get the REQUESTED size: session clamp caps are raised") {
+    // Spark's BloomFilterAggregate clamps numBits/estimatedNumItems to
+    // spark.sql.optimizer.runtime.bloomFilter.maxNumBits/maxNumItems
+    // (Math.min in its lazy vals — verified in the 4.1.2 bytecode).
+    // With the default 64M-bit cap, growTo past ~7M items/bucket would
+    // silently stop growing the REAL filters while capacity accounting
+    // doubled on a fiction. add() must raise the caps to its sizing.
+    // Simulate the clamp cheaply by LOWERING the caps below a small
+    // request and asserting the realized bitSize still tracks it.
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val (prevItems, prevBits) = (spark.conf.get(itemsKey), spark.conf.get(bitsKey))
+    try {
+      spark.conf.set(itemsKey, "100")
+      spark.conf.set(bitsKey, "1024")
+      val pb = new PartitionedBloom(1, 4096L, 0.01)
+      val df = spark.range(0, 4096)
+        .select(lit(0).as("b"), xxhash64(col("id")).as("h"))
+      pb.add(df, col("b"), col("h"), 4096L)
+      val want = org.apache.spark.util.sketch.BloomFilter.create(4096L, 0.01).bitSize()
+      assert(pb.realizedBitSize(0).contains(want),
+        s"clamped filter: got ${pb.realizedBitSize(0)}, requested $want bits " +
+          "(the session cap was not raised before the aggregate build)")
+      // and the caps are now at least the request (visible to later builds)
+      assert(spark.conf.get(bitsKey).toLong >= want)
+    } finally {
+      spark.conf.set(itemsKey, prevItems)
+      spark.conf.set(bitsKey, prevBits)
+    }
+  }
+
   test("crawl overfilling its initial bloom sizing rebuilds and still conforms to RefSim") {
     // 2 buckets x 1024 floor = 2048 capacity; this corpus archives
     // 8,637 findings — >4x that — forcing grow+rebuild mid-crawl

@@ -44,6 +44,43 @@ class ExtensionsSpec extends SparkTestBase {
     val _ = seenP1
   }
 
+  test("robots rules survive a crash between the robots commit and the run-log mark") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val cfg = CrawlConfig(web = web, seeds = SynthWeb.seeds(4),
+      lakeRoot = tmpDir("robotscrash"), robots = true,
+      fetchPartitions = 8, saltSlots = 2, maxWaves = 1)
+    new Crawler(spark, cfg).run() // completes wave 0 only (run log marks 1)
+    // simulate wave 1 crashing AFTER its robots commit but BEFORE its
+    // run-log mark: the torn snapshot 2 already holds the crashed
+    // attempt's freshly-fetched rules. A readAll()-cached resume would
+    // treat those hosts as known and OVERWRITE snapshot 2 with an
+    // empty set - deleting their rules and crawling disallowed URLs.
+    val c2 = new Crawler(spark, cfg.copy(maxWaves = 100))
+    val known = c2.robotsT.readThrough(1).select(col("host"))
+    val newHosts = c2.frontierT.readWave(1).select(col("host")).distinct()
+      .join(known, Seq("host"), "left_anti").as[String].collect()
+    val torn = newHosts.toSeq.map(h => (h, SynthWeb.robots(h))).toDF("host", "disallow")
+    c2.robotsT.commit(2, torn.repartition(1))
+    c2.run() // resume wave 1 onward
+    // oracle: an uninterrupted run on a fresh lake — byte-identical state
+    val clean = new Crawler(spark, cfg.copy(
+      lakeRoot = tmpDir("robotsclean"), maxWaves = 100))
+    clean.run()
+    val rulesA = c2.robotsT.readAll().as[(String, Seq[String])].collect().toMap
+    val rulesB = clean.robotsT.readAll().as[(String, Seq[String])].collect().toMap
+    assert(rulesA == rulesB, s"resume lost robots rules: ${rulesB.keySet -- rulesA.keySet}")
+    val imgHosts = c2.imagesT.readAll().select($"image_id").as[String]
+      .collect().map(graft.core.Canon.hostOf).toSet
+    assert(!imgHosts.contains("h1.test") && !imgHosts.contains("h4.test"),
+      s"disallowed hosts fetched after resume: $imgHosts")
+    val seenA = c2.seenT.readAll().select($"kind", $"url", $"depth")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val seenB = clean.seenT.readAll().select($"kind", $"url", $"depth")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(seenA == seenB, "resumed crawl diverged from the uninterrupted run")
+  }
+
   test("token bucket: at most Q admissions per host per wave") {
     val q = 5
     val crawler = new Crawler(spark, CrawlConfig(
