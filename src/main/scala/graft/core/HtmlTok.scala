@@ -37,17 +37,28 @@ object HtmlTok {
       else {
         val c = html.charAt(lt + 1)
         if (c == '!') {
-          // comment or doctype
-          if (html.startsWith("<!--", lt)) i = skipTo("-->", lt + 4)
-          else i = skipTo(">", lt + 2)
+          // comment or doctype. html5ever's abrupt-closing states:
+          // "<!-->" and "<!--->" are COMPLETE comments — a plain
+          // skipTo("-->") would swallow the rest of the document
+          if (html.startsWith("<!--", lt)) {
+            val p = lt + 4
+            if (p < n && html.charAt(p) == '>') i = p + 1
+            else if (p + 1 < n && html.charAt(p) == '-' && html.charAt(p + 1) == '>') i = p + 2
+            else i = skipTo("-->", p)
+          } else i = skipTo(">", lt + 2)
         } else if (c == '/') {
           i = skipTo(">", lt + 2)
         } else if (c == '?') {
           i = skipTo(">", lt + 2)
-        } else if (c.isLetter) {
-          // start tag: name
+        } else if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) {
+          // start tag. html5ever: only ASCII alpha OPENS a tag ('<' +
+          // anything else is text), and the NAME then consumes every
+          // char up to whitespace / '/' / '>' — so "<a.b" is a tag
+          // named "a.b" (not "a" with attributes), matching the
+          // reference's extraction exactly
           var j = lt + 1
-          while (j < n && (html.charAt(j).isLetterOrDigit || html.charAt(j) == '-')) j += 1
+          while (j < n && !html.charAt(j).isWhitespace &&
+                 html.charAt(j) != '/' && html.charAt(j) != '>') j += 1
           val name = html.substring(lt + 1, j).toLowerCase
           // attributes; html5ever's finish_attribute drops an attribute
           // whose name was already seen on this tag (first wins)
@@ -98,8 +109,11 @@ object HtmlTok {
   }
 
   /** html5ever decodes character references in attribute values; our
-    * synthetic space only ever emits &amp; — decode the common ones. */
+    * synthetic space only ever emits &amp; — decode the common ones.
+    * &amp; LAST: decoding it first would let "&amp;lt;" double-decode
+    * to "<" where html5ever emits the literal "&lt;" (the charref
+    * consumed the ampersand, so the following "lt;" is plain text). */
   private def decodeEntities(s: String): String =
     if (s.indexOf('&') < 0) s
-    else s.replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
+    else s.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"").replace("&amp;", "&")
 }

@@ -76,8 +76,11 @@ object RefSim {
       waveStats: Vector[WaveStats]
   )
 
-  private val canonicalOrd: Ordering[Finding] =
-    Ordering.by(f => (f.host, f.kind, f.url, f.depth))
+  /** Schwartzian sort: Finding.host is a full URL parse per call, and
+    * Ordering.by re-derives the key on EVERY comparison — 2·n·log n
+    * parses per wave sort. Precompute one key per element instead. */
+  private def canonicalSort(fs: Vector[Finding]): Vector[Finding] =
+    fs.map(f => ((f.host, f.kind, f.url, f.depth), f)).sortBy(_._1).map(_._2)
 
   def run(
       seedUrls: Seq[String],
@@ -92,7 +95,7 @@ object RefSim {
     }
     // HashSet<Url> dedup by parsed equality
     var queue: Vector[Finding] =
-      seeds.map(u => Finding(Finding.Page, u.render, 0)).distinct.toVector.sorted(canonicalOrd)
+      canonicalSort(seeds.map(u => Finding(Finding.Page, u.render, 0)).distinct.toVector)
 
     val archive = mutable.HashSet.empty[Finding]
     val hostVisits = mutable.HashMap.empty[String, Int]
@@ -164,7 +167,7 @@ object RefSim {
         fetchOk = fetchOk, fetchErr = fetchErr,
         novel = novelCount, dupDropped = refsOnNovel - novelCount,
         imagesWritten = imagesWritten)
-      queue = next.result().distinct.sorted(canonicalOrd)
+      queue = canonicalSort(next.result().distinct)
       wave += 1
     }
 

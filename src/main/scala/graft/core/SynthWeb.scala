@@ -83,6 +83,13 @@ object SynthWeb {
     new String(bytes, java.nio.charset.Charset.forName(resolved))
   }
 
+  /** Overflow-safe parse of a regex-guarded digit run: URLs like
+    * /p99999999999 exist in the request space (seeds are arbitrary)
+    * and must 404 like any web server — js.toInt would instead throw
+    * NumberFormatException out of fetch and kill the whole wave. */
+  private def numOr404(ds: String): Int =
+    if (ds.length <= 9) ds.toInt else Int.MaxValue
+
   /** Classify + serve a canonical URL. Fragment is ignored for fetching
     * (a GET of `u#x` retrieves `u`), like any HTTP client. */
   def fetch(url: String, cfg: WebConfig): FetchResult = {
@@ -90,15 +97,15 @@ object SynthWeb {
       case Canon.Absolute(u) if u.scheme == "http" && u.port == -1 =>
         u.host match {
           case HostName(is) =>
-            val i = is.toInt
+            val i = numOr404(is)
             if (i >= cfg.nHosts) return NotFound
             u.path match {
-              case PagePath(js) if js.toInt < cfg.pagesPerHost =>
+              case PagePath(js) if numOr404(js) < cfg.pagesPerHost =>
                 val (bytes, charset) = pageWire(i, js.toInt, cfg)
                 PageBody(decodeBody(bytes, charset))
-              case RedirectPath(js) if js.toInt < cfg.pagesPerHost =>
+              case RedirectPath(js) if numOr404(js) < cfg.pagesPerHost =>
                 RedirectTo(redirectTarget(i, js.toInt, cfg))
-              case ImagePath(ks, ext) if ks.toInt < cfg.imagesPerHost =>
+              case ImagePath(ks, ext) if numOr404(ks) < cfg.imagesPerHost =>
                 val id = imageUrl(i, ks.toInt, ext == "jpg")
                 val (w, h) = imageDims(id, cfg.imgMinDim, cfg.imgMaxDim)
                 val img = Imaging.synthPixels(id, w, h)
@@ -162,11 +169,6 @@ object SynthWeb {
     (0 until n).map { i =>
       captionWords(Math.floorMod(XxHash64.mix(h, i.toLong), captionWords.size.toLong).toInt)
     }.mkString(" ")
-  }
-
-  def imagePhash(imageId: String): Long = {
-    val (w, h) = imageDims(imageId)
-    Imaging.aHash(Imaging.synthPixels(imageId, w, h))
   }
 
   /** Pure page generator. Depends only on (host, page, cfg). */
@@ -250,7 +252,8 @@ object SynthWeb {
     * (SURVEY.md §2.8 D4) — OFF in conformance runs. */
   def robots(host: String): Seq[String] = host match {
     case HostName(is) =>
-      val i = is.toInt
+      val i = numOr404(is)
+      if (i == Int.MaxValue) return Seq.empty
       (if (i % 3 == 1) Seq("/img/") else Seq.empty) ++
         (if (i % 5 == 2) Seq("/p1") else Seq.empty)
     case _ => Seq.empty

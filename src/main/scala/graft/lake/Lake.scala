@@ -169,7 +169,7 @@ class LakeTable(spark: SparkSession, rootDir: String, name: String)
     if (!Lake.listNames(waveDir).exists(_.endsWith(".parquet"))) {
       // zero-partition input wrote no data file; keep one (empty, with
       // schema) so time travel / readAll never hit a missing wave
-      df.repartition(1).write.mode("overwrite").parquet(waveDir.toString)
+      df.repartition(1).write.mode("overwrite").options(writeOptions).parquet(waveDir.toString)
     }
     val snap = SnapshotMeta(name, wave, LakeTable.footerMetas(waveDir), 0L)
     val full = snap.copy(totalRows = snap.files.map(_.rows).sum)
@@ -250,19 +250,34 @@ class IndexTable(rootDir: String, name: String)
       df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(staging.toString)
       try Files.move(staging, keyDir, StandardCopyOption.ATOMIC_MOVE)
       catch {
-        case _: java.nio.file.FileAlreadyExistsException |
-             _: java.nio.file.DirectoryNotEmptyException |
-             _: java.nio.file.FileSystemException =>
-          // lost the race: the winner's dir is complete (it appeared
-          // atomically) — discard ours and read theirs
+        case e: java.nio.file.FileSystemException =>
+          // either we lost the race (the winner's dir is complete — it
+          // appeared atomically) or the move genuinely failed (disk
+          // full, permissions, non-atomic filesystem). Only the first
+          // is recoverable: a missing keyDir means a REAL failure, and
+          // swallowing it would commit a vacuous manifest pointing at
+          // nothing (FileAlreadyExists/DirectoryNotEmpty are
+          // FileSystemException subclasses, so the dir check — not the
+          // exception type — is what distinguishes the two).
           Lake.deleteRecursively(staging)
+          if (!Files.isDirectory(keyDir)) throw e
       }
     }
     val files = LakeTable.footerMetasRecursive(keyDir)
     writeSnapshot(SnapshotMeta(name, 0, files, files.map(_.rows).sum,
       Map("key" -> key)))
+    // retire key dirs the CURRENT manifest doesn't reference — re-read
+    // it rather than assuming ours is still the latest: a concurrent
+    // builder for a NEWER corpus key may have published after us, and
+    // wall-clock-ordered cleanup would delete its live index (the
+    // remaining microscopic read-then-delete window is the CAS point a
+    // real catalog closes; see the class doc)
+    val liveKeyDir = snapshot(0).flatMap(_.properties.get("key")).map(k => s"key=${keyHash(k)}")
     Lake.listPaths(dataDir)
-      .filter(p => p.getFileName.toString.startsWith("key=") && p != keyDir)
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("key=") && !liveKeyDir.contains(n)
+      }
       .foreach(Lake.deleteRecursively)
     keyDir
   }
@@ -306,7 +321,12 @@ class BucketedLakeTable(
 
   /** Unique per lakeRoot so many engines can share one session. */
   val tableName: String = {
-    val h = java.lang.Integer.toHexString(Paths.get(rootDir).toAbsolutePath.toString.hashCode)
+    // md5, not String.hashCode: a 32-bit collision between two lake
+    // roots in one session would silently share the catalog entry and
+    // its LOCATION (cross-contaminated seen sets, no error)
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(Paths.get(rootDir).toAbsolutePath.toString.getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
     s"graft_${name}_$h"
   }
 

@@ -503,9 +503,12 @@ object Similarity {
   private def corpusSnapshotKey(dir: String): String = {
     import scala.jdk.CollectionConverters._
     val p = java.nio.file.Paths.get(s"$dir/embeddings.parquet")
+    // close the listing stream (a bare Files.list leaks one fd per
+    // call — and this runs on every IVF index lookup)
     val files =
       if (java.nio.file.Files.isDirectory(p))
-        java.nio.file.Files.list(p).iterator().asScala.toVector.sortBy(_.toString)
+        scala.util.Using.resource(java.nio.file.Files.list(p))(
+          _.iterator().asScala.toVector.sortBy(_.toString))
       else Vector(p)
     dir + "|" + files.map { f =>
       s"${f.getFileName}:${java.nio.file.Files.size(f)}:" +

@@ -126,6 +126,28 @@ class HtmlTokSpec extends AnyFunSuite {
     val l = HtmlTok.extract("""<a href="/p?a=1&amp;b=2">x</a>""")
     assert(l.pageLinks == Vector("/p?a=1&b=2"))
   }
+
+  test("&amp; decodes LAST: &amp;lt; stays the literal &lt; like html5ever") {
+    // the charref consumed the ampersand, so the following "lt;" is
+    // plain text — a first-pass &amp; replace would double-decode to <
+    val l = HtmlTok.extract("""<a href="/p?a=1&amp;lt;2">x</a>""")
+    assert(l.pageLinks == Vector("/p?a=1&lt;2"))
+    val l2 = HtmlTok.extract("""<a href="/p?a=&amp;amp;">x</a>""")
+    assert(l2.pageLinks == Vector("/p?a=&amp;"))
+  }
+
+  test("tag names follow html5ever: <a.b> is a tag NAMED a.b, not <a> with attrs") {
+    val l = HtmlTok.extract("""<a.b href="/x">y</a.b><a href="/ok">z</a>""")
+    assert(l.pageLinks == Vector("/ok"), l.pageLinks.toString)
+    // only ASCII alpha opens a tag: '<' + unicode letter is text
+    val l2 = HtmlTok.extract("""<ä href="/no"><a href="/yes">""")
+    assert(l2.pageLinks == Vector("/yes"), l2.pageLinks.toString)
+  }
+
+  test("abruptly-closed comments <!--> and <!---> do not swallow the document") {
+    val l = HtmlTok.extract("""<!--><a href="/a"><!---><a href="/b"><!-- x --><a href="/c">""")
+    assert(l.pageLinks == Vector("/a", "/b", "/c"), l.pageLinks.toString)
+  }
 }
 
 class ImagingSpec extends AnyFunSuite {
