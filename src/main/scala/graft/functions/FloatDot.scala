@@ -17,13 +17,27 @@ import org.apache.spark.sql.GraftSqlBridge
   * cost), while this emits a tight primitive loop with no per-element
   * boxing and no lambda dispatch.
   *
-  * Null semantics match the fold: null array -> null result; elements
-  * are assumed non-null (the embeddings tables never carry null
-  * elements — a null element would have made the fold null anyway).
+  * Null semantics match the fold EXACTLY (not just on clean input):
+  * null array -> null; RAGGED arrays -> null (zip_with pads the
+  * shorter side with nulls, nulling the fold — a truncated dot
+  * product would instead return a plausible-looking number for a
+  * corrupt row); a null ELEMENT -> null, same reason. The per-element
+  * null checks are emitted only when the input array type can contain
+  * nulls, so non-null schemas keep the tight unchecked loop.
   */
 case class FloatDot(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  // ragged/null-element inputs produce null regardless of child
+  // nullability (see class doc)
+  override def nullable: Boolean = true
+
+  private def elementsNullable: Boolean =
+    Seq(left, right).exists(_.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _                          => true
+    })
 
   // STRICT float arrays: ArrayData.getFloat on a double-backed array
   // reads 4 of the slot's 8 bytes — silently-garbage results, so the
@@ -42,10 +56,13 @@ case class FloatDot(left: Expression, right: Expression) extends BinaryExpressio
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val checkNulls = elementsNullable
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -57,13 +74,22 @@ case class FloatDot(left: Expression, right: Expression) extends BinaryExpressio
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      val elemNullCheck =
+        if (elementsNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $elemNullCheck
+         |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -59,10 +59,18 @@ object Audio {
     buf.array()
   }
 
-  /** Decode WAV bytes back to 16-bit samples via javax.sound. */
+  /** Decode WAV bytes back to 16-bit samples via javax.sound. The
+    * container format is VALIDATED, not assumed: an 8-bit or stereo
+    * PCM WAV decodes without exception, but reinterpreting its frames
+    * as little-endian 16-bit mono would yield silently-bogus samples —
+    * such rows must take the undecodable-row drop path instead. */
   def decodeWav(bytes: Array[Byte]): Array[Short] = {
     val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
     try {
+      val f = in.getFormat
+      require(f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+        f.getSampleSizeInBits == 16 && f.getChannels == 1 && !f.isBigEndian,
+        s"unsupported WAV format (need 16-bit mono LE PCM): $f")
       val raw = in.readAllBytes()
       val bb = java.nio.ByteBuffer.wrap(raw).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       Array.fill(raw.length / 2)(bb.getShort)

@@ -18,7 +18,10 @@ object TextOps {
     * / len(marker); plain (non-regex) replace, exact integer math, so
     * Spark and the DuckDB oracle agree bit-for-bit. */
   private def occurrences(text: Column, marker: String): Column =
-    ((length(text) - length(expr(s"replace(text, '$marker', '')"))) /
+    // replace() over the PARAMETER column — the earlier expr-string
+    // hardcoded the name `text`, so any caller passing a derived or
+    // renamed column would silently count against the wrong data
+    ((length(text) - length(replace(text, lit(marker), lit("")))) /
       marker.length).cast("bigint")
 
   /** Whitespace token count (trim first so boundary spaces don't add
@@ -171,7 +174,7 @@ object TextOps {
       "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents",
     "q_bpe_token_count" ->
       s"""SELECT doc_id, CAST(len(regexp_extract_all(text,
-         |' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+')) AS BIGINT) AS n_bpe
+         |'${BpePattern}')) AS BIGINT) AS n_bpe
          |FROM documents""".stripMargin
   )
 }

@@ -25,8 +25,13 @@ object EventStream {
     events
       .withWatermark("ts", "10 minutes")
       .groupBy(window($"ts", "5 minutes").as("win"), $"event_type")
-      .agg(count(lit(1)).as("n"), sum($"value").as("total_value"))
-      .select($"win.start".as("win_start"), $"event_type", $"n", $"total_value")
+      // integer cents (floor(value*100), the q_running_total
+      // convention): a double sum accumulates in micro-batch arrival
+      // order on the stream side but partition order in batch, so the
+      // stream==batch equality would flake in the last ulp
+      .agg(count(lit(1)).as("n"),
+        sum(floor($"value" * 100).cast("bigint")).as("value_cents"))
+      .select($"win.start".as("win_start"), $"event_type", $"n", $"value_cents")
   }
 
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
@@ -56,7 +61,7 @@ object EventStream {
       .groupByKey(_.user_id)
       .mapGroupsWithState[SessionState, SessionOut](GroupStateTimeout.NoTimeout) {
         case (userId, rows, state: GroupState[SessionState]) =>
-          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
           var s = state.getOption.getOrElse(SessionState(0L, 0.0, Long.MinValue))
           var closedPrev = false
           sorted.foreach { e =>

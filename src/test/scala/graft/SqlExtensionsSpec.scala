@@ -32,6 +32,30 @@ class SqlExtensionsSpec extends SparkTestBase {
     assert(viaSql.nonEmpty && viaSql.values.forall(_ > 0.0))
   }
 
+  test("float_dot matches the zip_with fold on RAGGED and null-element input (null, not garbage)") {
+    GraftExtensions.registerAll(spark)
+    // ragged: zip_with pads the shorter array with nulls -> fold NULL;
+    // a truncated dot product would return a plausible number instead
+    def both(sql: String): (Option[Double], Option[Double]) = {
+      val r = spark.sql(
+        s"""SELECT float_dot($sql) AS fd,
+           |  aggregate(zip_with($sql, (x, y) -> x * y),
+           |            CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE)) AS fold""".stripMargin)
+        .head()
+      (if (r.isNullAt(0)) None else Some(r.getDouble(0)),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+    }
+    val ragged = both(
+      "array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)), array(CAST(3 AS FLOAT))")
+    assert(ragged._1.isEmpty && ragged._1 == ragged._2, ragged.toString)
+    val nullElem = both(
+      "array(CAST(1 AS FLOAT), CAST(NULL AS FLOAT)), array(CAST(3 AS FLOAT), CAST(4 AS FLOAT))")
+    assert(nullElem._1.isEmpty && nullElem._1 == nullElem._2, nullElem.toString)
+    val clean = both(
+      "array(CAST(1.5 AS FLOAT), CAST(2 AS FLOAT)), array(CAST(3 AS FLOAT), CAST(0.5 AS FLOAT))")
+    assert(clean._1.contains(1.5 * 3 + 2 * 0.5) && clean._1 == clean._2, clean.toString)
+  }
+
   test("float_dot rejects non-float arrays at analysis (getFloat on doubles would be garbage)") {
     GraftExtensions.registerAll(spark)
     intercept[org.apache.spark.sql.AnalysisException] {

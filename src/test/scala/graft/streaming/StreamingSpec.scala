@@ -37,11 +37,11 @@ class StreamingSpec extends SparkTestBase {
 
     val streamed = spark.table("win_counts")
       .filter($"event_type" =!= "tick")
-      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
 
     val batch = EventStream.windowedCountsBatch(
         rows.toDF("event_id", "ts", "user_id", "event_type", "value"))
-      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
 
     assert(streamed == batch, s"streamed=$streamed batch=$batch")
     assert(streamed.nonEmpty)
