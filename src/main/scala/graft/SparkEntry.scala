@@ -55,8 +55,10 @@ object SparkEntry {
     "q_quality" -> (TextOps.qualityScore _),
     "q_lang_id" -> (TextOps.langId _),
     "q_fingerprint" -> (TextOps.fingerprint _),
+    "q_repetition" -> (TextOps.repetition _),
     // --- dedup ---
     "q_dedup_exact" -> (Dedup.exactDedup _),
+    "q_decontaminate" -> (Dedup.decontaminate _),
     "q_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "q_minhash_neardup" -> ((s: SparkSession, d: String) => Dedup.minhashNearDup(s, d)),
     "q_simhash_neardup" -> ((s: SparkSession, d: String) => Dedup.simhashNearDup(s, d)),

@@ -93,6 +93,25 @@ object Dedup {
         ($"a_sh" + $"b_sh" - $"inter").as("uni"))
   }
 
+  /** Cross-source CONTAMINATION report — the decontamination step of a
+    * training pipeline (does corpus A contain benchmark B's documents?):
+    * per ordered source pair, how many exact-duplicate document pairs
+    * and how many distinct shared fingerprints cross the boundary. The
+    * output is bounded by sources² regardless of input size, and the
+    * fingerprint equi-join is the exact-dedup shuffle shape; run AFTER
+    * exact dedup (a mega-duplicated doc otherwise pays its f² pairs in
+    * the join, like any dedup-family self-join). */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fp = docs(spark, dir)
+      .select($"doc_id", $"source", md5(lower(trim($"text"))).as("fp"))
+    fp.as("a").join(fp.as("b"),
+        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("a.fp")).as("n_shared_fps"))
+  }
+
   // ------------------------------------------------------------ MinHash
 
   val MinHashK = 32   // signature length
@@ -250,6 +269,13 @@ object Dedup {
     "q_dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS text_fp, min(doc_id) AS keep_id,
         |count(*) AS copies FROM documents GROUP BY 1""".stripMargin,
+    "q_decontaminate" ->
+      """WITH fp AS (
+        |  SELECT doc_id, source, md5(lower(trim(text))) AS fp FROM documents)
+        |SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_pairs,
+        |  CAST(count(DISTINCT a.fp) AS BIGINT) AS n_shared_fps
+        |FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin,
     "q_ngram_jaccard" ->
       ("""WITH toks AS (
         |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),

@@ -122,6 +122,28 @@ object TextOps {
       when(best._1 > 0, best._2).otherwise(lit("und")).as("pred_lang"))
   }
 
+  /** Intra-document repetition (the classic repetition quality filter,
+    * MassiveText-style): the most frequent word 2-gram's count vs the
+    * doc's total 2-grams, as an exact integer ratio pair. Docs with
+    * fewer than two tokens have no 2-grams and are absent. One
+    * full-data shuffle on (doc_id, bigram) with map-side partial
+    * counts; the per-doc max/sum then runs over the already-collapsed
+    * counts (sketch-sized, like the histogram percentile). */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bigrams = docs(spark, dir)
+      .select($"doc_id", split(trim($"text"), "\\s+").as("w"))
+      .filter(size($"w") >= 2)
+      .select($"doc_id", explode(
+        transform(sequence(lit(1), size($"w") - 1), i =>
+          concat_ws(" ", element_at($"w", i), element_at($"w", i + 1)))
+      ).as("bigram"))
+    bigrams
+      .groupBy($"doc_id", $"bigram").agg(count(lit(1)).as("n"))
+      .groupBy($"doc_id")
+      .agg(max($"n").as("top_bigram_n"), sum($"n").as("n_bigrams"))
+  }
+
   /** Document fingerprint: md5 of the normalized text (md5 is identical
     * across Spark and DuckDB, so the oracle checks it exactly). */
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
@@ -149,6 +171,17 @@ object TextOps {
         |  start_offset >> 11 AS seq_first,
         |  (start_offset + n_tokens - 1) >> 11 AS seq_last
         |FROM offs""".stripMargin,
+    "q_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |bg AS (
+        |  SELECT doc_id, w[i] || ' ' || w[i+1] AS bigram
+        |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+        |        FROM toks WHERE len(w) >= 2)),
+        |c AS (SELECT doc_id, bigram, count(*) AS n FROM bg GROUP BY 1, 2)
+        |SELECT doc_id, CAST(max(n) AS BIGINT) AS top_bigram_n,
+        |  CAST(sum(n) AS BIGINT) AS n_bigrams
+        |FROM c GROUP BY 1""".stripMargin,
     "q_quality" -> {
       val nTok = """CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)"""
       val nStop = s"(${occSql(" the ")} + ${occSql(" and ")} + ${occSql(" a ")})"

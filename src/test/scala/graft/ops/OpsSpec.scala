@@ -117,6 +117,43 @@ class OpsSpec extends SparkTestBase {
     assert(expected.nonEmpty, "cap corpus must still produce pairs")
   }
 
+  test("decontamination reports planted cross-source duplicates exactly") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmpDir("contam")
+    // "benchmark" source b shares 3 docs with corpus source a (one of
+    // them duplicated twice in a -> 2 pairs from one fingerprint),
+    // and 1 doc with source c; a<->c share nothing
+    val rows = Seq(
+      (0L, "shared one", "en", "a", 1L), (1L, "shared one", "en", "a", 1L),
+      (2L, "shared two", "en", "a", 1L), (3L, "only in a", "en", "a", 1L),
+      (10L, "shared one", "en", "b", 1L), (11L, "shared two", "en", "b", 1L),
+      (12L, "b and c", "en", "b", 1L), (13L, "only in b", "en", "b", 1L),
+      (20L, "b and c", "en", "c", 1L), (21L, "only in c", "en", "c", 1L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val res = Dedup.decontaminate(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // a-b: "shared one" (2 copies in a x 1 in b = 2 pairs) + "shared
+    // two" (1 pair) = 3 pairs over 2 distinct fingerprints
+    assert(res == Map(("a", "b") -> ((3L, 2L)), ("b", "c") -> ((1L, 1L))), res.toString)
+  }
+
+  test("repetition ratio: planted repeated bigram dominates, short docs absent") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmpDir("repet")
+    val rows = Seq(
+      (0L, "spam spam spam spam spam", "en", "s0", 1L), // "spam spam" x4 of 4
+      (1L, "all words here differ fully", "en", "s0", 1L), // every bigram once
+      (2L, "single", "en", "s0", 1L)) // <2 tokens -> absent
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val res = TextOps.repetition(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(res == Map(0L -> ((4L, 4L)), 1L -> ((1L, 4L))), res.toString)
+  }
+
   test("exact dedup counts identical normalized texts") {
     val spark0 = spark
     import spark0.implicits._
