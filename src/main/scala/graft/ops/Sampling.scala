@@ -43,13 +43,30 @@ object Sampling {
 
   /** Stratified quota sample: the `quota` lowest-hash docs per source —
     * the per-source data-mixing shape (equal representation regardless
-    * of stratum size). One shuffle on source + a windowed rank; ties
-    * broken by doc_id so the draw is total-ordered and exact. */
-  def stratifiedSample(spark: SparkSession, dir: String, quota: Int = 50): DataFrame = {
+    * of stratum size). Ties broken by doc_id so the draw is
+    * total-ordered and exact.
+    *
+    * SKEW-PROOF like the crawler's admission window (Admission.preLimit,
+    * same exactness argument): a giant stratum would otherwise sort its
+    * ENTIRE membership in one window partition — the single-task
+    * straggler at 10^9 docs/source. A salted pre-limit first keeps each
+    * (source, salt)'s `quota` smallest rows — any row in the stratum's
+    * global top-quota is also in its salt-group's top-quota, so the
+    * final window sees at most saltSlots x quota rows per source and
+    * the result is bit-identical to the unlimited window. */
+  def stratifiedSample(spark: SparkSession, dir: String, quota: Int = 50,
+                       saltSlots: Int = 8): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"source").orderBy($"h", $"doc_id")
-    docs(spark, dir)
+    val base = docs(spark, dir)
       .select($"doc_id", $"source", sampleHash($"doc_id").as("h"))
+    val pw = Window.partitionBy($"source", $"psalt").orderBy($"h", $"doc_id")
+    val pre = base
+      .withColumn("psalt", pmod(xxhash64($"doc_id"), lit(math.max(1, saltSlots))))
+      .withColumn("prn", row_number().over(pw))
+      .filter($"prn" <= quota)
+      .drop("psalt", "prn")
+    val w = Window.partitionBy($"source").orderBy($"h", $"doc_id")
+    pre
       .withColumn("rnk", row_number().over(w).cast("bigint"))
       .filter($"rnk" <= quota)
       .select($"doc_id", $"source", $"rnk")

@@ -63,22 +63,56 @@ object TextOps {
     * standard pretraining layout). Emits each doc's global token
     * offset and the first/last window it lands in: exactly what a
     * loader needs to materialize window w (`seq_first <= w <=
-    * seq_last`). One shuffle on source (window cumsum), map-side
-    * nothing to combine — the prefix sum IS the operator; at 100 TB
-    * the per-source ordering key spreads sources across the cluster
-    * and each partition's running sum is linear. */
+    * seq_last`).
+    *
+    * The prefix sum is a TWO-PHASE DISTRIBUTED SCAN, not a window: a
+    * `Window.partitionBy(source)` cumsum puts an entire source in ONE
+    * task — the straggler at 10^9 docs/source. Instead the rows are
+    * range-partitioned on (source, doc_id) so a giant source SPANS
+    * partitions; phase 1 collects each partition's per-source token
+    * totals (one tiny row per (partition, source) — the only
+    * driver-side data), phase 2 re-runs the scan adding the broadcast
+    * prefix offsets to a per-partition running sum. Both phases see
+    * the same deterministic range partitioning, so the offsets line
+    * up; integer sums make the result bit-equal to the windowed
+    * formulation the DuckDB oracle replays. */
   def sequencePacking(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy($"source").orderBy($"doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    docs(spark, dir)
+    val toks = docs(spark, dir)
       .select($"doc_id", $"source",
         size(split(trim($"text"), "\\s+")).cast("bigint").as("n_tokens"))
-      .withColumn("start_offset", coalesce(sum($"n_tokens").over(w), lit(0L)))
-      .select($"doc_id", $"source", $"n_tokens", $"start_offset",
-        shiftright($"start_offset", SeqLenBits).as("seq_first"),
-        shiftright($"start_offset" + $"n_tokens" - 1, SeqLenBits).as("seq_last"))
+      .repartitionByRange(spark.sparkContext.defaultParallelism, $"source", $"doc_id")
+      .sortWithinPartitions($"source", $"doc_id")
+      .as[(Long, String, Long)]
+    // phase 1: per-(partition, source) token totals — bounded by
+    // partitions x sources-per-partition rows, never by input size
+    val partials: Array[(Int, String, Long)] = toks.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val sums = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      it.foreach { case (_, src, n) => sums(src) = sums.getOrElse(src, 0L) + n }
+      sums.iterator.map { case (s, n) => (pid, s, n) }
+    }.collect()
+    val offsets: Map[(Int, String), Long] = partials.groupBy(_._2).flatMap {
+      case (src, rows) =>
+        var acc = 0L
+        rows.sortBy(_._1).map { case (pid, _, n) =>
+          val o = (pid, src) -> acc; acc += n; o
+        }
+    }
+    val oB = spark.sparkContext.broadcast(offsets)
+    val bits = SeqLenBits
+    toks.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val off = oB.value
+      var cur: String = null
+      var acc = 0L
+      it.map { case (id, src, n) =>
+        if (src != cur) { cur = src; acc = off.getOrElse((pid, src), 0L) }
+        val start = acc
+        acc += n
+        (id, src, n, start, start >> bits, (start + n - 1) >> bits)
+      }
+    }.toDF("doc_id", "source", "n_tokens", "start_offset", "seq_first", "seq_last")
   }
 
   /** Quality scoring: integer component counts + a categorical label,

@@ -154,6 +154,28 @@ class OpsSpec extends SparkTestBase {
     assert(res == Map(0L -> ((4L, 4L)), 1L -> ((1L, 4L))), res.toString)
   }
 
+  test("sequence packing chains offsets across partitions of ONE giant source") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmpDir("pack")
+    // a single source with 1000 docs: the range partitioner MUST split
+    // it across tasks (local[4]), so every partition boundary
+    // exercises the broadcast prefix-offset chaining
+    def nTokens(i: Long): Long = 1 + (i % 7)
+    val rows = (0L until 1000L).map(i =>
+      (i, (0L until nTokens(i)).map(j => s"w$j").mkString(" "), "en", "big", 1L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = TextOps.sequencePacking(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    var acc = 0L
+    (0L until 1000L).foreach { i =>
+      val n = nTokens(i)
+      assert(got(i) == ((n, acc)), s"doc $i: got ${got(i)}, want ($n, $acc)")
+      acc += n
+    }
+  }
+
   test("exact dedup counts identical normalized texts") {
     val spark0 = spark
     import spark0.implicits._

@@ -175,20 +175,27 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("Semi") || p.contains("Join"), p)
   }
 
-  test("sequence packing rides one source shuffle (the prefix sum IS the operator)") {
+  test("sequence packing: range-partitioned two-phase scan, NO per-source window task") {
+    // a Window.partitionBy(source) cumsum would put a whole stratum in
+    // one task; the shipped shape is one RANGE exchange (a giant
+    // source spans partitions) + broadcast prefix offsets
     val p = plan(TextOps.sequencePacking(spark, dir))
     val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
-    assert(exchanges == 1, s"expected exactly 1 shuffle, got $exchanges:\n" + p)
-    assert(p.contains("Window"), p)
+    assert(exchanges == 1, s"expected exactly 1 (range) shuffle, got $exchanges:\n" + p)
+    assert(p.toLowerCase.contains("rangepartitioning"), "not range-partitioned:\n" + p)
+    assert(!p.contains("Window"), "per-source window crept back in:\n" + p)
   }
 
-  test("hash sample is scan -> filter with no shuffle; stratified rides one source shuffle") {
+  test("hash sample never shuffles; stratified = salted pre-limit + bounded final window") {
     val p1 = plan(Sampling.hashSample(spark, dir))
     assert(!p1.contains("Exchange"), "bernoulli-by-hash must not shuffle:\n" + p1)
+    // the skew-proof shape: one (source, salt) shuffle for the
+    // pre-limit, one source shuffle for the final (bounded) window -
+    // a single unlimited window would sort a whole stratum in one task
     val p2 = plan(Sampling.stratifiedSample(spark, dir))
     val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p2).size
-    assert(exchanges == 1, s"expected exactly 1 shuffle, got $exchanges:\n" + p2)
-    assert(p2.contains("Window"), p2)
+    assert(exchanges == 2, s"expected 2 shuffles (salted pre-limit + final), got $exchanges:\n" + p2)
+    assert("Window".r.findAllIn(p2).size >= 2, p2)
   }
 
   test("cosine near-dup plan has no cartesian product") {
