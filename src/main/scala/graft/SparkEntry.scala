@@ -51,7 +51,7 @@ object SparkEntry {
     // --- text analysis ---
     "q_token_count" -> (TextOps.tokenCount _),
     "q_bpe_token_count" -> (TextOps.bpeTokenCount _),
-    "q_sequence_packing" -> (TextOps.sequencePacking _),
+    "q_sequence_packing" -> ((s: SparkSession, d: String) => TextOps.sequencePacking(s, d)),
     "q_quality" -> (TextOps.qualityScore _),
     "q_lang_id" -> (TextOps.langId _),
     "q_fingerprint" -> (TextOps.fingerprint _),
@@ -59,6 +59,7 @@ object SparkEntry {
     // --- dedup ---
     "q_dedup_exact" -> (Dedup.exactDedup _),
     "q_decontaminate" -> (Dedup.decontaminate _),
+    "q_decontaminate_ngram" -> ((s: SparkSession, d: String) => Dedup.decontaminateNgram(s, d)),
     "q_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "q_minhash_neardup" -> ((s: SparkSession, d: String) => Dedup.minhashNearDup(s, d)),
     "q_simhash_neardup" -> ((s: SparkSession, d: String) => Dedup.simhashNearDup(s, d)),

@@ -257,6 +257,12 @@ object Canon {
     while (i < p.length) {
       val cp = p.codePointAt(i)
       if (cp < 0x80) enc(cp.toChar, sb)
+      else if (cp >= 0xD800 && cp <= 0xDFFF)
+        // UNPAIRED surrogate (codePointAt returned the raw surrogate):
+        // WHATWG/url-crate serialization substitutes U+FFFD and
+        // percent-encodes it (%EF%BF%BD); String.getBytes("UTF-8")
+        // would silently substitute '?' (%3F) instead — advisor r4
+        sb.append("%EF%BF%BD")
       else new String(Character.toChars(cp)).getBytes("UTF-8")
         .foreach(b => sb.append(f"%%${b & 0xff}%02X"))
       i += Character.charCount(cp)

@@ -238,8 +238,28 @@ class IndexTable(rootDir: String, name: String)
   /** Build (or replace) the index for corpus snapshot `key`: write the
     * partitioned data to a staging dir, publish it with one atomic
     * rename, commit the manifest, drop superseded key directories.
-    * Returns the (possibly concurrently-won) data directory. */
+    * Returns the (possibly concurrently-won) data directory, which is
+    * guaranteed to still hold THIS key's data: if a concurrent builder
+    * published a newer corpus key between our commit and cleanup — our
+    * key dir may have been retired by ITS cleanup — the build is
+    * retried rather than returning a deleted path the caller would
+    * fail to scan (advisor r4; two builders can only disagree while
+    * the corpus itself is changing mid-flight, so retries terminate in
+    * practice and are bounded here regardless). */
   def rebuild(key: String, partitionCols: Seq[String], df: DataFrame): Path = {
+    var attempt = 0
+    var dir = rebuildOnce(key, partitionCols, df)
+    while (!Files.isDirectory(dir) && attempt < 3) {
+      attempt += 1
+      dir = rebuildOnce(key, partitionCols, df)
+    }
+    if (!Files.isDirectory(dir))
+      throw new IllegalStateException(
+        s"index '$name' key dir for key=$key kept being superseded by concurrent rebuilds")
+    dir
+  }
+
+  private def rebuildOnce(key: String, partitionCols: Seq[String], df: DataFrame): Path = {
     val kh = keyHash(key)
     val keyDir = dataDir.resolve(s"key=$kh")
     if (!Files.isDirectory(keyDir)) {

@@ -46,9 +46,13 @@ object Dedup {
 
   /** Distinct word 3-gram shingles per doc: (doc_id, source, shingle).
     * element_at is 1-based like the DuckDB oracle's array indexing. */
-  private def shingles(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
+  private def shingles(spark: SparkSession, dir: String, n: Int = 3): DataFrame =
+    shinglesOf(docs(spark, dir), n)
+
+  private[ops] def shinglesOf(corpus: DataFrame, n: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
     import spark.implicits._
-    docs(spark, dir)
+    corpus
       .select($"doc_id", $"source", split(trim($"text"), "\\s+").as("w"))
       .filter(size($"w") >= n)
       .select($"doc_id", $"source", explode(
@@ -93,23 +97,87 @@ object Dedup {
         ($"a_sh" + $"b_sh" - $"inter").as("uni"))
   }
 
+  /** Hot-bucket guard for the decontamination fp self-join, same
+    * pattern as [[MaxShingleDf]]: a fingerprint duplicated f times
+    * across the corpus is f² join pairs, and a pre-dedup mega-duplicate
+    * cluster (which belongs to exact dedup, upstream) would otherwise
+    * go quadratic here. The SAME cap is in the oracle SQL. */
+  val MaxFpDf = 1000
+
+  /** The corpus the driver's decontamination queries run over:
+    * `documents` plus a derived 'zbench' benchmark source (every 7th
+    * doc relabeled, ids offset out of the natural range). The natural
+    * fixture corpus has NO cross-source exact duplicates, so without
+    * the planted benchmark the exact report is vacuously empty (0 = 0
+    * passed every round while proving nothing — r4 verdict); the
+    * derived source makes every sourceᵢ×zbench cell non-empty and the
+    * oracle SQL builds the identical corpus. */
+  private[ops] def benchCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir).select($"doc_id", $"source", $"text")
+    d.unionByName(d.filter($"doc_id" % 7 === 0)
+      .select(($"doc_id" + 10000000L).as("doc_id"), lit("zbench").as("source"), $"text"))
+  }
+
   /** Cross-source CONTAMINATION report — the decontamination step of a
     * training pipeline (does corpus A contain benchmark B's documents?):
     * per ordered source pair, how many exact-duplicate document pairs
     * and how many distinct shared fingerprints cross the boundary. The
     * output is bounded by sources² regardless of input size, and the
-    * fingerprint equi-join is the exact-dedup shuffle shape; run AFTER
-    * exact dedup (a mega-duplicated doc otherwise pays its f² pairs in
-    * the join, like any dedup-family self-join). */
-  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    * fingerprint equi-join is the exact-dedup shuffle shape;
+    * fingerprints duplicated more than `maxDf` times are dropped from
+    * the join ([[capHotBuckets]] — mirrored in the oracle), so a
+    * pre-dedup mega-duplicate is bounded instead of quadratic. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame =
+    decontaminateCorpus(benchCorpus(spark, dir))
+
+  def decontaminateCorpus(corpus: DataFrame, maxDf: Int = MaxFpDf): DataFrame = {
+    val spark = corpus.sparkSession
     import spark.implicits._
-    val fp = docs(spark, dir)
-      .select($"doc_id", $"source", md5(lower(trim($"text"))).as("fp"))
+    val fp = capHotBuckets(
+      corpus.select($"doc_id", $"source", md5(lower(trim($"text"))).as("fp")),
+      Seq("fp"), maxDf)
     fp.as("a").join(fp.as("b"),
         col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
       .agg(count(lit(1)).as("n_pairs"),
         countDistinct(col("a.fp")).as("n_shared_fps"))
+  }
+
+  /** N-GRAM-overlap decontamination — the realistic contamination case
+    * exact fingerprints miss: a benchmark doc paraphrased into the
+    * corpus still shares most of its word 3-grams. Per cross-source doc
+    * pair, the count of shared distinct shingles, kept at >= minShared.
+    * Same scale shape as [[ngramJaccard]]: the shingle equi-join
+    * carries the one shuffle and [[MaxShingleDf]] caps hot
+    * stop-shingles (mirrored in the oracle). Runs on the NATURAL corpus
+    * — cross-source phrase reuse in the fixtures makes it non-vacuous
+    * without planting. */
+  def decontaminateNgram(spark: SparkSession, dir: String,
+                         minShared: Int = 3,
+                         maxDf: Int = MaxShingleDf): DataFrame =
+    decontaminateNgramCorpus(
+      docs(spark, dir).select("doc_id", "source", "text"), minShared, maxDf)
+
+  def decontaminateNgramCorpus(corpus: DataFrame, minShared: Int = 3,
+                               maxDf: Int = MaxShingleDf): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sh = shinglesOf(corpus)
+    // cross-source df cap: keyed on shingle alone (the join key) —
+    // cross-boundary overlap means the per-source df split is
+    // irrelevant to the pair blowup
+    val dfOk = sh.groupBy($"shingle")
+      .agg(count(lit(1)).as("df")).filter($"df" <= maxDf)
+      .select($"shingle")
+    val shJ = sh.join(dfOk, Seq("shingle"))
+    shJ.as("a").join(shJ.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= minShared)
   }
 
   // ------------------------------------------------------------ MinHash
@@ -270,12 +338,34 @@ object Dedup {
       """SELECT md5(lower(trim(text))) AS text_fp, min(doc_id) AS keep_id,
         |count(*) AS copies FROM documents GROUP BY 1""".stripMargin,
     "q_decontaminate" ->
-      """WITH fp AS (
-        |  SELECT doc_id, source, md5(lower(trim(text))) AS fp FROM documents)
+      ("""WITH corpus AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, 'zbench' AS source, text FROM documents
+        |  WHERE doc_id % 7 = 0),
+        |fp0 AS (SELECT doc_id, source, md5(lower(trim(text))) AS fp FROM corpus),
+        |ok AS (SELECT fp FROM fp0 GROUP BY 1 HAVING count(*) <= """.stripMargin +
+      MaxFpDf.toString + """),
+        |fp AS (SELECT fp0.* FROM fp0 JOIN ok USING (fp))
         |SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_pairs,
         |  CAST(count(DISTINCT a.fp) AS BIGINT) AS n_shared_fps
         |FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
-        |GROUP BY 1, 2""".stripMargin,
+        |GROUP BY 1, 2""".stripMargin),
+    "q_decontaminate_ngram" ->
+      ("""WITH toks AS (
+        |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, source,
+        |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        |  FROM (SELECT doc_id, source, w, unnest(generate_series(1, len(w) - 2)) AS i
+        |        FROM toks WHERE len(w) >= 3)),
+        |ok AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= """.stripMargin +
+      MaxShingleDf.toString + """),
+        |shj AS (SELECT sh.* FROM sh JOIN ok USING (shingle))
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+        |FROM shj a JOIN shj b ON a.shingle = b.shingle AND a.source < b.source
+        |GROUP BY 1, 2, 3, 4 HAVING count(*) >= 3""".stripMargin),
     "q_ngram_jaccard" ->
       ("""WITH toks AS (
         |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),

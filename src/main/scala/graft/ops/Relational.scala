@@ -129,19 +129,28 @@ object Relational {
       .select($"event_id", $"key".as("user_id"), $"t".as("ts"), $"last_order")
   }
 
-  /** Interval/range join — events in the 3 days following an order by
-    * the same user. The equality key (user) carries the one shuffle;
-    * the range predicate filters inside the joined partitions — never a
-    * cross join / BNLJ (PlanSpec-gated shape family). */
+  /** Interval/range join — the conversion-window count: per 'view'
+    * event, purchases by the same user within the 3 days at-or-after
+    * the view. The equality key (user) carries the one shuffle; the
+    * range predicate filters inside the joined partitions — never a
+    * cross join / BNLJ (PlanSpec-gated shape family).
+    *
+    * r5: reformulated events×events — the previous orders×events form
+    * was VACUOUS on the driver fixtures (orders end 2001, events start
+    * 2024 → 0 rows every round); both sides of this one live in the
+    * same 2024 window, so the oracle row is a real check. */
   def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    t(spark, dir, "orders").select($"o_orderkey", $"o_custkey", $"o_orderdate")
-      .join(t(spark, dir, "events").select($"user_id", $"ts"),
-        $"user_id" === $"o_custkey" &&
-          $"ts" >= $"o_orderdate" &&
-          $"ts" < $"o_orderdate" + expr("INTERVAL 3 DAYS"))
-      .groupBy($"o_orderkey")
-      .agg(count(lit(1)).as("n_events"))
+    val ev = t(spark, dir, "events")
+    ev.filter($"event_type" === "view")
+      .select($"event_id", $"user_id", $"ts")
+      .join(ev.filter($"event_type" === "purchase")
+          .select($"user_id".as("p_user"), $"ts".as("p_ts")),
+        $"p_user" === $"user_id" &&
+          $"p_ts" >= $"ts" &&
+          $"p_ts" < $"ts" + expr("INTERVAL 3 DAYS"))
+      .groupBy($"event_id")
+      .agg(count(lit(1)).as("n_purchases"))
   }
 
   /** Grouping sets (ROLLUP) — per (event_type, hour-of-day), per
@@ -279,11 +288,12 @@ object Relational {
         |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
         |WHERE rn = 1""".stripMargin,
     "q_range_join" ->
-      """SELECT o_orderkey, count(*) AS n_events
-        |FROM orders JOIN events
-        |  ON user_id = o_custkey AND ts >= o_orderdate
-        |     AND ts < o_orderdate + INTERVAL 3 DAY
-        |GROUP BY o_orderkey""".stripMargin,
+      """SELECT v.event_id, count(*) AS n_purchases
+        |FROM events v JOIN events p
+        |  ON p.user_id = v.user_id AND v.event_type = 'view'
+        |     AND p.event_type = 'purchase'
+        |     AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 3 DAY
+        |GROUP BY v.event_id""".stripMargin,
     "q_rollup_agg" ->
       """SELECT event_type, hour(ts) AS hod, count(*) AS n
         |FROM events GROUP BY ROLLUP (event_type, hod)""".stripMargin,

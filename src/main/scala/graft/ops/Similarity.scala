@@ -523,8 +523,16 @@ object Similarity {
   private def ivfIndexDir(spark: SparkSession, dir: String, nCentroids: Int): String =
     synchronized { // serialize same-JVM builders; cross-JVM: see IndexTable
       val key = corpusSnapshotKey(dir) + "|nc=" + nCentroids + "|cv2" // cv2: Lloyd-trained centroids
-      val name = "ivf_" + java.lang.Integer.toHexString(
-        java.nio.file.Paths.get(dir).toAbsolutePath.toString.hashCode) + s"_$nCentroids"
+      // md5 of the absolute corpus path, same scheme (and rationale) as
+      // BucketedLakeTable.tableName: a 32-bit String.hashCode collision
+      // between two corpus dirs would share ONE IndexTable — the key
+      // check prevents wrong reads, but each rebuild would retire the
+      // other corpus's live key dir (perpetual thrash, and a concurrent
+      // reader's files deleted mid-scan)
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(java.nio.file.Paths.get(dir).toAbsolutePath.toString.getBytes("UTF-8"))
+        .take(8).map("%02x".format(_)).mkString
+      val name = s"ivf_${h}_$nCentroids"
       val table = new graft.lake.IndexTable(indexRoot(spark), name)
       table.currentDir(key).getOrElse {
         val cB = spark.sparkContext.broadcast(coarseCentroids(spark, dir, nCentroids))

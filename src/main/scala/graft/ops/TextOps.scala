@@ -72,22 +72,47 @@ object TextOps {
     * partitions; phase 1 collects each partition's per-source token
     * totals (one tiny row per (partition, source) — the only
     * driver-side data), phase 2 re-runs the scan adding the broadcast
-    * prefix offsets to a per-partition running sum. Both phases see
-    * the same deterministic range partitioning, so the offsets line
-    * up; integer sums make the result bit-equal to the windowed
-    * formulation the DuckDB oracle replays. */
-  def sequencePacking(spark: SparkSession, dir: String): DataFrame = {
+    * prefix offsets to a per-partition running sum.
+    *
+    * Cross-phase state is keyed on the RDD PARTITION INDEX of ONE
+    * persisted RDD, for two reasons both learned the hard way (r4
+    * CORRECTNESS fail + advisor):
+    *  - `TaskContext.getPartitionId()` is the TASK id, which a
+    *    downstream `coalesce(1)` (Verify's write path) collapses to 0
+    *    while the closure still runs once per parent partition — every
+    *    offset lookup after the first missed and each source restarted
+    *    at 0 at old partition boundaries. `mapPartitionsWithIndex`'s
+    *    index argument is the RDD partition index, stable under any
+    *    downstream coalesce.
+    *  - `RangePartitioner` SAMPLES its bounds per execution, so running
+    *    the range exchange twice (phase-1 job, then the output job) can
+    *    assign boundary rows to different partitions and misalign the
+    *    broadcast offsets. Persisting the partitioned RDD pins one set
+    *    of bounds across both phases (phase 1's collect materializes
+    *    it; the ContextCleaner drops the cache when the RDD is GC'd).
+    * Integer sums make the result bit-equal to the windowed formulation
+    * the DuckDB oracle replays; VerifyPathSpec gates the coalesce(1)
+    * write path ≡ collect at high parallelism. */
+  def sequencePacking(spark: SparkSession, dir: String): DataFrame =
+    sequencePacking(spark, dir, spark.sparkContext.defaultParallelism)
+
+  /** `numParts` is exposed so the regression test can force range
+    * bounds that SPLIT sources (at 4 evenly-sized-source test cpus the
+    * sampled bounds happen to align with source changes, which is
+    * exactly what masked the r4 bug). */
+  def sequencePacking(spark: SparkSession, dir: String, numParts: Int): DataFrame = {
     import spark.implicits._
     val toks = docs(spark, dir)
       .select($"doc_id", $"source",
         size(split(trim($"text"), "\\s+")).cast("bigint").as("n_tokens"))
-      .repartitionByRange(spark.sparkContext.defaultParallelism, $"source", $"doc_id")
+      .repartitionByRange(numParts, $"source", $"doc_id")
       .sortWithinPartitions($"source", $"doc_id")
       .as[(Long, String, Long)]
+      .rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // phase 1: per-(partition, source) token totals — bounded by
     // partitions x sources-per-partition rows, never by input size
-    val partials: Array[(Int, String, Long)] = toks.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
+    val partials: Array[(Int, String, Long)] = toks.mapPartitionsWithIndex { (pid, it) =>
       val sums = scala.collection.mutable.LinkedHashMap.empty[String, Long]
       it.foreach { case (_, src, n) => sums(src) = sums.getOrElse(src, 0L) + n }
       sums.iterator.map { case (s, n) => (pid, s, n) }
@@ -101,8 +126,7 @@ object TextOps {
     }
     val oB = spark.sparkContext.broadcast(offsets)
     val bits = SeqLenBits
-    toks.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
+    toks.mapPartitionsWithIndex { (pid, it) =>
       val off = oB.value
       var cur: String = null
       var acc = 0L

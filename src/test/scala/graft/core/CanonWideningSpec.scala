@@ -145,6 +145,11 @@ class CanonWideningSpec extends AnyFunSuite {
     // WHATWG path set extras
     assert(render("http://h0.test/a{b}c") == "http://h0.test/a%7Bb%7Dc")
     assert(render("http://h0.test/a\u007fb") == "http://h0.test/a%7Fb")
+    // UNPAIRED surrogates substitute U+FFFD (%EF%BF%BD) like the
+    // WHATWG/url-crate serializer -- String.getBytes would emit '?'
+    // (%3F), silently colliding with a real question mark (advisor r4)
+    assert(render("http://h0.test/a" + '\ud800' + "b") == "http://h0.test/a%EF%BF%BDb")
+    assert(render("http://h0.test/a" + '\udfff' + "b") == "http://h0.test/a%EF%BF%BDb")
   }
 
   test("rendered paths are always ASCII and encoding is idempotent (property)") {

@@ -130,13 +130,66 @@ class OpsSpec extends SparkTestBase {
       (10L, "shared one", "en", "b", 1L), (11L, "shared two", "en", "b", 1L),
       (12L, "b and c", "en", "b", 1L), (13L, "only in b", "en", "b", 1L),
       (20L, "b and c", "en", "c", 1L), (21L, "only in c", "en", "c", 1L))
-    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
-      .write.parquet(s"$dir/documents.parquet")
-    val res = Dedup.decontaminate(spark, dir).collect()
+    val corpus = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    corpus.write.parquet(s"$dir/documents.parquet")
+    val res = Dedup.decontaminateCorpus(corpus).collect()
       .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
     // a-b: "shared one" (2 copies in a x 1 in b = 2 pairs) + "shared
     // two" (1 pair) = 3 pairs over 2 distinct fingerprints
     assert(res == Map(("a", "b") -> ((3L, 2L)), ("b", "c") -> ((1L, 1L))), res.toString)
+    // the driver entry runs over benchCorpus: every doc_id % 7 == 0 doc
+    // (0 and 21 here) is relabeled 'zbench', so each natural source
+    // holding one gains exactly its cross-boundary cells. doc 0's fp
+    // ("shared one") exists twice in a + once in b; doc 21's ("only in
+    // c") once in c.
+    val bench = Dedup.decontaminate(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(bench == Map(
+      ("a", "b") -> ((3L, 2L)), ("b", "c") -> ((1L, 1L)),
+      ("a", "zbench") -> ((2L, 1L)), ("b", "zbench") -> ((1L, 1L)),
+      ("c", "zbench") -> ((1L, 1L))), bench.toString)
+  }
+
+  test("decontaminate fp cap: a planted mega-duplicate binds, real contamination survives") {
+    val spark0 = spark
+    import spark0.implicits._
+    // one fingerprint duplicated 6x in a + 6x in b (36 pairs uncapped),
+    // plus one honest shared doc; cap 10 < 12 drops the mega fp from
+    // the join entirely while the honest pair is untouched
+    val rows = (0 until 6).map(k => (k.toLong, "mega dup", "a")) ++
+      (10 until 16).map(k => (k.toLong, "mega dup", "b")) ++
+      Seq((20L, "honest shared", "a"), (21L, "honest shared", "b"))
+    val corpus = rows.toDF("doc_id", "text", "source")
+    val uncapped = Dedup.decontaminateCorpus(corpus, maxDf = 1000).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(uncapped == Map(("a", "b") -> ((37L, 2L))), uncapped.toString)
+    val capped = Dedup.decontaminateCorpus(corpus, maxDf = 10).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // candidate volume is BOUNDED by the cap: the 36 mega pairs are
+    // gone, only the honest fingerprint's single pair remains
+    assert(capped == Map(("a", "b") -> ((1L, 1L))), capped.toString)
+  }
+
+  test("ngram decontamination catches a planted cross-source paraphrase") {
+    val spark0 = spark
+    import spark0.implicits._
+    // doc 10 (src b) paraphrases doc 0 (src a): same 8-word body with
+    // one word swapped mid-sentence -> shares the prefix + suffix
+    // 3-gram runs but NOT all; doc 1/11 are unrelated (disjoint vocab);
+    // exact fingerprints all differ, so exact decontamination sees none
+    val rows = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight", "a"),
+      (1L, "alpha beta gamma delta epsilon zeta", "a"),
+      (10L, "the quick brown fox leaps over the lazy dog tonight", "b"),
+      (11L, "uno dos tres cuatro cinco seis", "b"))
+    val corpus = rows.toDF("doc_id", "text", "source")
+    assert(Dedup.decontaminateCorpus(corpus).collect().isEmpty)
+    val res = Dedup.decontaminateNgramCorpus(corpus, minShared = 3).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)), r.getLong(4))).toMap
+    // shared distinct 3-grams: "the quick brown", "quick brown fox"
+    // (prefix run) + "over the lazy", "the lazy dog", "lazy dog
+    // tonight" (suffix run) = 5
+    assert(res == Map(("a", "b", 0L, 10L) -> 5L), res.toString)
   }
 
   test("repetition ratio: planted repeated bigram dominates, short docs absent") {
