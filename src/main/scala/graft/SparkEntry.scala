@@ -45,6 +45,7 @@ object SparkEntry {
     // --- approximate-metrics sketches (deterministic, oracle-exact) ---
     "q_approx_distinct" -> (Sketches.approxDistinct _),
     "q_histogram_percentile" -> (Sketches.histogramPercentile _),
+    "q_bottomk_quantile" -> ((s: SparkSession, d: String) => Sketches.bottomkQuantile(s, d)),
     // --- deterministic sampling / data mixing ---
     "q_hash_sample" -> ((s: SparkSession, d: String) => Sampling.hashSample(s, d)),
     "q_stratified_sample" -> ((s: SparkSession, d: String) => Sampling.stratifiedSample(s, d)),
@@ -52,6 +53,7 @@ object SparkEntry {
     "q_token_count" -> (TextOps.tokenCount _),
     "q_bpe_token_count" -> (TextOps.bpeTokenCount _),
     "q_sequence_packing" -> ((s: SparkSession, d: String) => TextOps.sequencePacking(s, d)),
+    "q_pack_windows" -> (TextOps.packWindows _),
     "q_quality" -> (TextOps.qualityScore _),
     "q_lang_id" -> (TextOps.langId _),
     "q_fingerprint" -> (TextOps.fingerprint _),
@@ -123,6 +125,7 @@ object SparkEntry {
     "phash_sigs" -> ((s, _) => Multimodal.syntheticImages(s, 64).select("image_id", "phash")),
     "audio_pcm" -> ((s, _) => Audio.pcmAux(s)),
     "distinct_hashes" -> ((s, d) => Sketches.distinctHashesAux(s, d)),
+    "bottomk_hashes" -> ((s, d) => Sketches.bottomkHashesAux(s, d)),
     "sample_hashes" -> ((s, d) => Sampling.sampleHashesAux(s, d))
   )
 }

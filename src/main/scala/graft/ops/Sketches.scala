@@ -118,7 +118,80 @@ object Sketches {
       .agg(min($"bucket").as("bucket_lo"))
   }
 
+  // ------------------------------------------------- bottom-k sample sketch
+
+  /** Sample size per group: 64 draws — rank-space standard error
+    * sqrt(p(1-p)/64) ≈ 6% at the median; production would raise k with
+    * the identical plan shape. */
+  val BottomK = 64
+
+  /** Sign-cleared sampling hash of the event id (seed disjoint from
+    * the HLL/minhash/sampling families) — shared by [[bottomkQuantile]]
+    * and the aux dump, so the oracle replays exactly these draws. */
+  private def bkHash(c: Column): Column =
+    xxhash64(lit(13L), c).bitwiseAND(lit(Long.MaxValue))
+
+  /** Values in integer cents: a double running through both engines'
+    * windowed machinery drifts in the last ulp, integers never do
+    * (same rationale as the running total). */
+  private def valCents(c: Column): Column =
+    floor(c * 100).cast("bigint")
+
+  /** (event_id, event_type, h, val_cents) dump for the {AUX} oracle. */
+  def bottomkHashesAux(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir).select($"event_id", $"event_type",
+      bkHash($"event_id").as("h"), valCents($"value").as("val_cents"))
+  }
+
+  /** Bottom-k sample sketch of `value` per event type: the k rows with
+    * the smallest sampling hash — a fixed-size uniform sample that is
+    * MERGEABLE (bottom-k of a union = bottom-k of the per-part
+    * bottom-k's), the property that makes it a sketch rather than a
+    * limit: shards sketch independently and a combiner keeps the k
+    * smallest, exactly like the KMV distinct sketch's keep-k-minima
+    * shape. Complements the histogram percentile: no value-range cap,
+    * resolution adapts to the data, and the same sample answers ANY
+    * quantile after the fact. The sketch rows ARE the output (r4
+    * pattern: that is what makes an approx operator oracle-exact);
+    * [[bottomkQuantileEstimate]] is the driver-side epilogue.
+    *
+    * Skew-proof like [[Sampling.stratifiedSample]]: a salted pre-limit
+    * bounds the final per-type window to saltSlots × k rows — bit-equal
+    * to the unlimited window by the same top-k-of-salt-groups argument. */
+  def bottomkQuantile(spark: SparkSession, dir: String, k: Int = BottomK,
+                      saltSlots: Int = 8): DataFrame = {
+    import spark.implicits._
+    val base = events(spark, dir).select($"event_id", $"event_type",
+      bkHash($"event_id").as("h"), valCents($"value").as("val_cents"))
+    val pw = Window.partitionBy($"event_type", $"psalt").orderBy($"h", $"event_id")
+    val pre = base
+      .withColumn("psalt", pmod(xxhash64($"event_id"), lit(math.max(1, saltSlots))))
+      .withColumn("prn", row_number().over(pw))
+      .filter($"prn" <= k)
+      .drop("psalt", "prn")
+    val w = Window.partitionBy($"event_type").orderBy($"h", $"event_id")
+    pre
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter($"rnk" <= k)
+      .select($"event_type", $"rnk", $"h", $"val_cents")
+  }
+
+  /** Driver-side quantile estimate from one group's collected sketch:
+    * the p-th order statistic of the uniform sample (nearest-rank). */
+  def bottomkQuantileEstimate(valCents: Seq[Long], p: Double): Long = {
+    val sorted = valCents.sorted
+    sorted(math.min(sorted.size - 1, math.max(0, math.ceil(p * sorted.size).toInt - 1)))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_bottomk_quantile" ->
+      ("""SELECT event_type, rnk, h, val_cents FROM (
+        |  SELECT event_type, h, val_cents,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY h, event_id)
+        |      AS BIGINT) AS rnk
+        |  FROM read_parquet('{AUX}/bottomk_hashes/*.parquet'))
+        |WHERE rnk <= """.stripMargin + BottomK.toString),
     "q_approx_distinct" ->
       """WITH h AS (SELECT * FROM read_parquet('{AUX}/distinct_hashes/*.parquet')),
         |r AS (

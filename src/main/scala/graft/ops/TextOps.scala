@@ -139,6 +139,29 @@ object TextOps {
     }.toDF("doc_id", "source", "n_tokens", "start_offset", "seq_first", "seq_last")
   }
 
+  /** The MATERIALIZED packed-window table [[sequencePacking]]'s doc
+    * says a loader consumes: one row per (training window, doc span) —
+    * window w of a source holds tokens [w*2048, (w+1)*2048) of the
+    * concatenated stream, so each doc contributes a span to every
+    * window in [seq_first, seq_last]. `span_start` is the first token
+    * of the doc inside that window (doc-relative), `span_len` its
+    * length; ordering (window_id, start_offset) reproduces the exact
+    * byte layout. Pure integer interval intersection on top of the
+    * packing scan — the explode factor is n_tokens/2048 + 1 per doc
+    * (linear in corpus tokens), and everything downstream of the
+    * packing RDD is codegen'd expressions. */
+  def packWindows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val seqLen = 1L << SeqLenBits
+    sequencePacking(spark, dir)
+      .select($"doc_id", $"source", $"n_tokens", $"start_offset",
+        explode(sequence($"seq_first", $"seq_last")).as("window_id"))
+      .select($"window_id", $"source", $"doc_id", $"start_offset",
+        greatest($"window_id" * seqLen - $"start_offset", lit(0L)).as("span_start"),
+        (least(($"window_id" + 1) * seqLen, $"start_offset" + $"n_tokens") -
+          greatest($"window_id" * seqLen, $"start_offset")).as("span_len"))
+  }
+
   /** Quality scoring: integer component counts + a categorical label,
     * deterministic and oracle-checkable. */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
@@ -229,6 +252,25 @@ object TextOps {
         |  start_offset >> 11 AS seq_first,
         |  (start_offset + n_tokens - 1) >> 11 AS seq_last
         |FROM offs""".stripMargin,
+    "q_pack_windows" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |offs AS (
+        |  SELECT *, CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+        |  FROM toks),
+        |spans AS (
+        |  SELECT doc_id, source, n_tokens, start_offset,
+        |    unnest(generate_series(start_offset >> 11,
+        |                           (start_offset + n_tokens - 1) >> 11)) AS window_id
+        |  FROM offs)
+        |SELECT window_id, source, doc_id, start_offset,
+        |  greatest(window_id * 2048 - start_offset, 0) AS span_start,
+        |  least((window_id + 1) * 2048, start_offset + n_tokens)
+        |    - greatest(window_id * 2048, start_offset) AS span_len
+        |FROM spans""".stripMargin,
     "q_repetition" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),

@@ -229,6 +229,42 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("packed windows tile every training window exactly (loader layout)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmpDir("packwin")
+    // two sources; doc lengths chosen so docs straddle 2048-token
+    // boundaries (1500 tokens each -> every 2048-window crosses a doc)
+    val rows = (0L until 40L).map { i =>
+      val src = if (i < 25) "sa" else "sb"
+      (i, (0L until 1500L).map(j => "t").mkString(" "), "en", src, 1L)
+    }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val spans = TextOps.packWindows(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(4), r.getLong(5)))
+    // per (source, window): spans sum to exactly 2048 tokens, except
+    // the final window of each source (the remainder)
+    val bySrcWin = spans.groupBy(s => (s._2, s._1)).view.mapValues(_.map(_._5).sum).toMap
+    val totals = Map("sa" -> 25L * 1500, "sb" -> 15L * 1500)
+    totals.foreach { case (src, total) =>
+      val lastWin = (total - 1) >> 11
+      (0L to lastWin).foreach { w =>
+        val expect = if (w == lastWin) total - (lastWin << 11) else 2048L
+        assert(bySrcWin((src, w)) == expect, s"$src window $w: ${bySrcWin((src, w))} != $expect")
+      }
+      assert(!bySrcWin.contains((src, lastWin + 1)))
+    }
+    // per doc: spans sum to n_tokens and are contiguous doc-relative
+    spans.groupBy(s => (s._2, s._3)).foreach { case ((src, id), ss) =>
+      val ordered = ss.sortBy(_._1)
+      assert(ordered.map(_._5).sum == 1500L, s"$src/$id spans don't cover the doc")
+      ordered.foldLeft(0L) { case (pos, (_, _, _, start, len)) =>
+        assert(start == pos, s"$src/$id span starts at $start, expected $pos"); pos + len
+      }
+    }
+  }
+
   test("exact dedup counts identical normalized texts") {
     val spark0 = spark
     import spark0.implicits._
@@ -463,6 +499,32 @@ class OpsSpec extends SparkTestBase {
       val est = Sketches.hllEstimate(
         regs.filter(_._1 == src).map(t => (t._2, t._3)).toSeq)
       assert(math.abs(est - n) <= math.max(3.0, 0.35 * n), s"$src est=$est true=$n")
+    }
+  }
+
+  test("bottom-k sketch is the exact global bottom-k and estimates quantiles") {
+    val sfDir = "/root/testdata/sf0.001"
+    val sketch = Sketches.bottomkQuantile(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // exactness: per type, the sketch is PRECISELY the k lowest-hash
+    // events (the salted pre-limit must not change the draw)
+    val all = Sketches.bottomkHashesAux(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    all.groupBy(_._2).foreach { case (tpe, rows) =>
+      val want = rows.sortBy(t => (t._3, t._1)).take(Sketches.BottomK)
+        .zipWithIndex.map { case ((_, _, h, v), i) => (tpe, (i + 1).toLong, h, v) }.toSeq
+      val got = sketch.filter(_._1 == tpe).sortBy(_._2).toSeq
+      assert(got == want, s"$tpe sketch is not the exact bottom-k")
+    }
+    // epilogue: the sample's order statistic lands within sampling
+    // error of the true quantile (rank tolerance 3*sqrt(p(1-p)/k) ~ .19)
+    all.groupBy(_._2).foreach { case (tpe, rows) =>
+      val est = Sketches.bottomkQuantileEstimate(
+        sketch.filter(_._1 == tpe).map(_._4).toSeq, 0.5)
+      val sorted = rows.map(_._4).sorted
+      val lo = sorted(((0.5 - 0.2) * sorted.size).toInt)
+      val hi = sorted(math.min(sorted.size - 1, ((0.5 + 0.2) * sorted.size).toInt))
+      assert(est >= lo && est <= hi, s"$tpe p50 est=$est outside [$lo, $hi]")
     }
   }
 

@@ -223,6 +223,11 @@ class PlanSpec extends SparkTestBase {
     val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p2).size
     assert(exchanges == 2, s"expected 2 shuffles (salted pre-limit + final), got $exchanges:\n" + p2)
     assert("Window".r.findAllIn(p2).size >= 2, p2)
+    // the bottom-k sketch rides the same skew-proof two-window shape
+    val p3 = plan(graft.ops.Sketches.bottomkQuantile(spark, dir))
+    val ex3 = "\\(\\d+\\) Exchange".r.findAllIn(p3).size
+    assert(ex3 == 2, s"expected 2 shuffles (salted pre-limit + final), got $ex3:\n" + p3)
+    assert("Window".r.findAllIn(p3).size >= 2, p3)
   }
 
   test("cosine near-dup plan has no cartesian product") {
