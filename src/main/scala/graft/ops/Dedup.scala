@@ -180,6 +180,149 @@ object Dedup {
       .filter($"n_shared" >= minShared)
   }
 
+  /** Duplicate-CLUSTER resolution — the step that turns near-dup PAIRS
+    * into the keep/drop decision a dedup pipeline actually applies:
+    * connected components over the [[ngramJaccard]] pair graph, each
+    * doc labeled with its component's min doc_id (`cluster`) and
+    * `keep = (doc_id == cluster)` — one canonical survivor per
+    * duplicate cluster, every other member dropped. Docs in no pair
+    * are their own singleton cluster (kept).
+    *
+    * Components via min-label propagation to fixpoint: each round,
+    * every node takes the min of its own and its neighbors' labels —
+    * one equi-join + min-aggregation shuffle per round, rounds =
+    * O(component diameter). Near-dup components are near-cliques
+    * (members pairwise share shingles), so diameter ≈ 2-3 and this
+    * converges in a handful of rounds regardless of corpus size — the
+    * pathological long-chain case that motivates large-star/small-star
+    * contraction does not arise from similarity edges. The fixpoint
+    * label is the component minimum whatever the round count, so the
+    * output is oracle-exact (DuckDB replays it as recursive
+    * reachability + min). */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    clusterLabels(
+      docs(spark, dir).select($"doc_id"),
+      ngramJaccard(spark, dir).select($"a_id", $"b_id"))
+  }
+
+  /** Edge-count threshold below which components are resolved by a
+    * driver-side union-find instead of the distributed loop — the same
+    * adaptive small-side pattern as the budget broadcast join: a pair
+    * graph under ~4M edges is tens of MB of driver-bounded metadata
+    * and resolves in milliseconds, where every distributed round pays
+    * fresh codegen + scheduling (~1s/round measured). Both paths
+    * compute the identical fixpoint (component min), asserted in
+    * OpsSpec on the same topology. */
+  val ClusterDriverMaxEdges = 4000000L
+
+  /** Resolve components over an undirected pair graph: every node in a
+    * pair labeled with its component's min id; split out so tests can
+    * plant multi-hop chain topologies directly (and force either path
+    * via `driverMaxEdges`). */
+  def clusterLabels(nodes: DataFrame, pairs: DataFrame,
+                    driverMaxEdges: Long = ClusterDriverMaxEdges): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .persist()
+    // both paths touch ONLY edge-touched nodes: duplicate-graph
+    // membership is bounded by 2x the pair count, so the working set is
+    // the dup graph, not the corpus — at the design point the corpus is
+    // 10^9+ docs and the graph a sliver of it; singletons join the
+    // output once at the end (one anti-join, no per-round cost)
+    val eCount = edges.count()
+    val labels =
+      if (eCount <= driverMaxEdges) driverComponents(spark, edges)
+      else distributedComponents(edges)
+    edges.unpersist()
+    val clustered = labels.select(col("node").as("doc_id"), col("label").as("cluster"),
+      (col("node") === col("label")).as("keep"))
+    val singles = nodes.join(labels.select(col("node").as("doc_id")), Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"doc_id".as("cluster"), lit(true).as("keep"))
+    clustered.unionByName(singles)
+  }
+
+  /** Small-graph path: union-find with path compression on the driver,
+    * then one pass mapping each root to its component min —
+    * deterministic and identical to the distributed fixpoint. */
+  private def driverComponents(spark: SparkSession, edges: DataFrame): DataFrame = {
+    import spark.implicits._
+    val es = edges.as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra) = rb
+    }
+    val compMin = scala.collection.mutable.HashMap.empty[Long, Long]
+    parent.keys.foreach { n =>
+      val r = find(n)
+      compMin(r) = math.min(compMin.getOrElse(r, n), n)
+    }
+    parent.keys.toSeq.sorted.map(n => (n, compMin(find(n)))).toDF("node", "label")
+  }
+
+  /** Scale path: min-label propagation with pointer jumping.
+    *
+    * Every round\'s labels are LINEAGE-TRUNCATED (localCheckpoint):
+    * `labels` appears twice in a round\'s plan, so without truncation
+    * the logical tree DOUBLES per round — 2^rounds copies of the
+    * upstream pair computation, and the session dies regenerating plan
+    * strings long before any data is big (the same retained-plan
+    * blowup as the crawler\'s cross-wave cached-DF hang; measured here
+    * as a driver OOM inside AQE\'s explainString at sf0.1). The
+    * checkpoint data is a few rows per graph node and is already
+    * materialized by the convergence count. */
+  private def distributedComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var labels = edges.select($"src".as("node")).distinct()
+      .select($"node", $"node".as("label")).localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    // the cap is a runaway guard, not a semantic: jumping converges in
+    // O(log diameter) rounds and the fixpoint label is the component
+    // min whatever the round count
+    while (changed > 0 && rounds < 64) {
+      // propagate: take the min of own and neighbor labels...
+      val nbrMin = edges.join(labels, edges("src") === labels("node"))
+        .groupBy($"dst").agg(min($"label").as("nlbl"))
+        .withColumnRenamed("dst", "node")
+      val prop = labels.join(nbrMin, Seq("node"), "left_outer")
+        .select($"node",
+          least($"label", coalesce($"nlbl", $"label")).as("label"),
+          $"label".as("prev"))
+      // ...then POINTER-JUMP label <- label(label): paths to the
+      // component min halve each round, so chain-shaped components
+      // converge in O(log diameter) rounds instead of O(diameter)
+      // (the sf0.1 corpus has diameter-7 chains: 7 rounds flat, 4
+      // with jumping). Labels always name graph nodes, so the jump
+      // join is total. `improved` rides the checkpoint so convergence
+      // is a filter-count over materialized rows, not another join job.
+      val upd = prop.as("c")
+        .join(prop.select($"node".as("pnode"), $"label".as("plabel")),
+          col("c.label") === col("pnode"))
+        .select($"node", $"plabel".as("label"), ($"plabel" < $"prev").as("improved"))
+        .localCheckpoint()
+      changed = upd.filter($"improved").count()
+      labels.unpersist()
+      labels = upd.drop("improved")
+      rounds += 1
+      if (sys.env.contains("GRAFT_WAVE_TIMING"))
+        println(s"[clusterLabels] round $rounds changed=$changed")
+    }
+    labels
+  }
+
   // ------------------------------------------------------------ MinHash
 
   val MinHashK = 32   // signature length
@@ -366,6 +509,36 @@ object Dedup {
         |  a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
         |FROM shj a JOIN shj b ON a.shingle = b.shingle AND a.source < b.source
         |GROUP BY 1, 2, 3, 4 HAVING count(*) >= 3""".stripMargin),
+    // connected components replayed as recursive reachability: label of
+    // a node = min doc_id that reaches it over the (undirected) pair
+    // graph — the same fixpoint min-label propagation converges to,
+    // independent of round count. Edge set = the q_ngram_jaccard pair
+    // CTE (same MaxShingleDf cap).
+    "q_dedup_clusters" ->
+      ("""WITH RECURSIVE toks AS (
+        |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, source,
+        |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        |  FROM (SELECT doc_id, source, w, unnest(generate_series(1, len(w) - 2)) AS i
+        |        FROM toks WHERE len(w) >= 3)),
+        |df_ok AS (SELECT source, shingle FROM sh GROUP BY 1, 2 HAVING count(*) <= """.stripMargin +
+      MaxShingleDf.toString + """),
+        |shj AS (SELECT sh.* FROM sh JOIN df_ok USING (source, shingle)),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM shj a JOIN shj b ON a.shingle = b.shingle AND a.source = b.source
+        |       AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |edges AS (SELECT a_id AS src, b_id AS dst FROM inter
+        |          UNION ALL SELECT b_id, a_id FROM inter),
+        |reach(node, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node)
+        |SELECT node AS doc_id, min(label) AS cluster,
+        |  min(label) = node AS keep
+        |FROM reach GROUP BY 1""".stripMargin),
     "q_ngram_jaccard" ->
       ("""WITH toks AS (
         |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),

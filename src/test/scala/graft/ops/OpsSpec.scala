@@ -150,6 +150,32 @@ class OpsSpec extends SparkTestBase {
       ("c", "zbench") -> ((1L, 1L))), bench.toString)
   }
 
+  test("cluster labels resolve multi-hop chains, triangles and singletons") {
+    val spark0 = spark
+    import spark0.implicits._
+    // chain 1-2-3-4-5 (diameter 4: needs >1 propagation round),
+    // triangle 10-11-12, pair 20-21, singletons 30/31
+    val nodes = (Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L, 12L, 20L, 21L, 30L, 31L))
+      .toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
+      .toDF("a_id", "b_id")
+    val got = Dedup.clusterLabels(nodes, pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    // driverMaxEdges = -1 forces the distributed pointer-jump loop;
+    // both paths must produce the identical fixpoint
+    val gotDist = Dedup.clusterLabels(nodes, pairs, driverMaxEdges = -1L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got == gotDist, s"driver and distributed paths disagree: $got vs $gotDist")
+    val want = Map(
+      1L -> ((1L, true)), 2L -> ((1L, false)), 3L -> ((1L, false)),
+      4L -> ((1L, false)), 5L -> ((1L, false)),
+      10L -> ((10L, true)), 11L -> ((10L, false)), 12L -> ((10L, false)),
+      20L -> ((20L, true)), 21L -> ((20L, false)),
+      30L -> ((30L, true)), 31L -> ((31L, true)))
+    assert(got == want, got.toString)
+  }
+
   test("decontaminate fp cap: a planted mega-duplicate binds, real contamination survives") {
     val spark0 = spark
     import spark0.implicits._
