@@ -120,6 +120,17 @@ object Bench {
     if (!sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) {
       val spark = session(cpus)
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        // per-query CACHE isolation (r5): queries that persist an
+        // intermediate (ngramJaccard's shingle table) leak it into the
+        // session, and a LATER query whose plan happens to match gets an
+        // InMemoryRelation scan instead of its codegen'd pipeline —
+        // measured 1.3s -> 5.3s on q_minhash_neardup once
+        // q_dedup_clusters (which runs earlier alphabetically) started
+        // caching shingles. Decompressing 3M cached strings twice loses
+        // to recomputing the split/explode in one whole-stage-codegen
+        // pass. Clearing between queries measures each operator's own
+        // plan, not an accident of sweep ordering.
+        spark.catalog.clearCache()
         def once(): Double = {
           val t0 = System.nanoTime()
           fn(spark, sfDir).count()

@@ -74,22 +74,33 @@ object Dedup {
     * oracle agree bit-for-bit even when the cap binds. */
   val MaxShingleDf = 1000
 
-  def ngramJaccard(spark: SparkSession, dir: String, minInter: Int = 3,
-                   maxDf: Int = MaxShingleDf): DataFrame = {
+  /** The df-capped shingle-equi-join pair core shared by
+    * [[ngramJaccard]] (which decorates it with set sizes) and
+    * [[dedupClusters]] (which needs only the pair ids): (a_id, b_id,
+    * inter) for same-source doc pairs sharing >= minInter surviving
+    * shingles. */
+  private def interPairs(sh: DataFrame, minInter: Int, maxDf: Int): DataFrame = {
+    val spark = sh.sparkSession
     import spark.implicits._
-    val sh = shingles(spark, dir).persist()
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
     val dfOk = sh.groupBy($"source", $"shingle")
       .agg(count(lit(1)).as("df")).filter($"df" <= maxDf)
       .select($"source", $"shingle")
     val shJ = sh.join(dfOk, Seq("source", "shingle"))
-    val inter = shJ.as("a").join(shJ.as("b"),
+    shJ.as("a").join(shJ.as("b"),
         col("a.shingle") === col("b.shingle") &&
           col("a.source") === col("b.source") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("inter"))
       .filter($"inter" >= minInter)
+  }
+
+  def ngramJaccard(spark: SparkSession, dir: String, minInter: Int = 3,
+                   maxDf: Int = MaxShingleDf): DataFrame = {
+    import spark.implicits._
+    val sh = shingles(spark, dir).persist()
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = interPairs(sh, minInter, maxDf)
     inter
       .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "a_sh"), "a_id")
       .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_sh", "b_sh"), "b_id")
@@ -201,9 +212,18 @@ object Dedup {
     * reachability + min). */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    clusterLabels(
+    val sh = shingles(spark, dir).persist()
+    val out = clusterLabels(
       docs(spark, dir).select($"doc_id"),
-      ngramJaccard(spark, dir).select($"a_id", $"b_id"))
+      interPairs(sh, minInter = 3, maxDf = MaxShingleDf).select($"a_id", $"b_id"))
+    // clusterLabels has materialized the edge set by now (its adaptive
+    // count), so the shingle cache serves nobody — drop it rather than
+    // leak it into the session, where a LATER query whose shingle plan
+    // happens to coincide would scan the InMemoryRelation instead of
+    // its own codegen'd pipeline (measured 2-4x slower for the minhash
+    // signature pass)
+    sh.unpersist()
+    out
   }
 
   /** Edge-count threshold below which components are resolved by a
@@ -224,8 +244,13 @@ object Dedup {
                     driverMaxEdges: Long = ClusterDriverMaxEdges): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+    // mirror each pair via explode, NOT a self-union: a union's two
+    // branches each execute the (uncached) upstream pair plan — for
+    // dedupClusters that ran the whole shingle join twice per call
+    val edges = pairs.select(explode(array(
+        struct(col("a_id").as("src"), col("b_id").as("dst")),
+        struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist()
     // both paths touch ONLY edge-touched nodes: duplicate-graph
     // membership is bounded by 2x the pair count, so the working set is
