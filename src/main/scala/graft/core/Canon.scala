@@ -177,18 +177,22 @@ object Canon {
     * guarded by CanonWideningSpec; the synthetic space emits only ASCII
     * reg-names, so conformance is untouched): bracketed IPv6 literals
     * get the RFC 5952 canonical form; non-ASCII (IDN) hosts map to
-    * punycode via java.net.IDN (IDNA2003 — an approximation of the url
-    * crate's UTS-46, exact on the common cases the tests pin). */
+    * punycode per a UTS-46 NONTRANSITIONAL approximation (r5 — was
+    * java.net.IDN's IDNA2003): per-label lowercase + NFKC mapping,
+    * soft hyphen deleted, DEVIATION characters (ß, ς, ZWJ, ZWNJ) kept
+    * rather than IDNA2003-mapped — so `straße.de` renders
+    * `xn--strae-oqa.de` like the url crate, not `strasse.de`. The full
+    * UTS-46 table (per-code-point disallowed set, CONTEXTJ rules,
+    * BiDi) is out of scope and honestly approximated: ASCII validity
+    * is still enforced on the final form. */
   private def canonicalizeHost(hostRaw: String): Option[String] = {
     if (hostRaw.startsWith("[") || hostRaw.endsWith("]")) {
       if (!(hostRaw.length >= 3 && hostRaw.startsWith("[") && hostRaw.endsWith("]")))
         return None
       normalizeIpv6(hostRaw.substring(1, hostRaw.length - 1)).map("[" + _ + "]")
     } else if (hostRaw.exists(_ >= 0x80)) {
-      try {
-        val ascii = java.net.IDN.toASCII(hostRaw).toLowerCase
-        if (ascii.nonEmpty && ascii.forall(isHostChar)) Some(ascii) else None
-      } catch { case _: IllegalArgumentException => None }
+      val ascii = hostRaw.split("\\.", -1).map(idnLabelToAscii).mkString(".")
+      if (ascii.nonEmpty && ascii.forall(isHostChar)) Some(ascii) else None
     } else if (hostRaw.forall(isHostChar)) {
       val lower = hostRaw.toLowerCase
       // a host whose final label is numeric MUST be IPv4 (WHATWG): the
@@ -196,6 +200,84 @@ object Canon {
       // 127.0.0.1 and rejects foo.123 outright
       if (endsInNumber(lower)) normalizeIpv4(lower) else Some(lower)
     } else None // InvalidDomainCharacter
+  }
+
+  /** One IDN label → ASCII: existing ACE labels pass through; the
+    * UTS-46 mapping approximation is per-code-point lowercase then
+    * NFKC (UTS-46's map phase ≈ NFKC casefold; lowercase keeps ß and
+    * final sigma — the nontransitional deviation semantics — where
+    * IDNA2003's nameprep folds ß→ss), soft hyphens deleted; an
+    * all-ASCII result stays literal, anything else Punycode-encodes.
+    * Invalid ASCII output (spaces, controls…) is caught by the
+    * caller's isHostChar pass. */
+  private def idnLabelToAscii(label: String): String = {
+    if (label.startsWith("xn--")) return label
+    val sb = new StringBuilder(label.length)
+    var i = 0
+    while (i < label.length) {
+      val cp = label.codePointAt(i)
+      if (cp != 0x00AD) sb.appendAll(Character.toChars(Character.toLowerCase(cp)))
+      i += Character.charCount(cp)
+    }
+    val mapped = java.text.Normalizer.normalize(sb.toString, java.text.Normalizer.Form.NFKC)
+    if (mapped.forall(_ < 0x80)) mapped else "xn--" + punycodeEncode(mapped)
+  }
+
+  /** RFC 3492 Punycode encoding (the spec's published algorithm;
+    * parameters straight from §5). Labels are tiny, so the spec's
+    * overflow guards reduce to the int range check below. */
+  private def punycodeEncode(input: String): String = {
+    val Base = 36; val TMin = 1; val TMax = 26; val Skew = 38; val Damp = 700
+    val cps: Array[Int] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var i = 0
+      while (i < input.length) {
+        val cp = input.codePointAt(i); buf += cp; i += Character.charCount(cp)
+      }
+      buf.toArray
+    }
+    val out = new StringBuilder
+    cps.foreach(c => if (c < 0x80) out.append(c.toChar))
+    val b = out.length
+    var h = b
+    if (b > 0) out.append('-')
+    var n = 128; var delta = 0; var bias = 72
+    def adapt(d0: Int, numPoints: Int, firstTime: Boolean): Int = {
+      var d = if (firstTime) d0 / Damp else d0 / 2
+      d += d / numPoints
+      var k = 0
+      while (d > ((Base - TMin) * TMax) / 2) { d /= Base - TMin; k += Base }
+      k + (((Base - TMin + 1) * d) / (d + Skew))
+    }
+    def digit(d: Int): Char = if (d < 26) ('a' + d).toChar else ('0' + d - 26).toChar
+    while (h < cps.length) {
+      val m = cps.iterator.filter(_ >= n).min
+      delta += (m - n) * (h + 1)
+      n = m
+      cps.foreach { c =>
+        if (c < n) delta += 1
+        else if (c == n) {
+          var q = delta
+          var k = Base
+          var emitting = true
+          while (emitting) {
+            val t = if (k <= bias) TMin else if (k >= bias + TMax) TMax else k - bias
+            if (q < t) { out.append(digit(q)); emitting = false }
+            else {
+              out.append(digit(t + ((q - t) % (Base - t))))
+              q = (q - t) / (Base - t)
+              k += Base
+            }
+          }
+          bias = adapt(delta, h + 1, h == b)
+          delta = 0
+          h += 1
+        }
+      }
+      delta += 1
+      n += 1
+    }
+    out.toString
   }
 
   /** The WHATWG path percent-encode set (url crate `path()`

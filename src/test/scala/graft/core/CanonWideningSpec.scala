@@ -103,6 +103,17 @@ class CanonWideningSpec extends AnyFunSuite {
     assert(render("http://例え.テスト/") == "http://xn--r8jz45g.xn--zckzah/")
     // already-punycode stays as-is
     assert(render("http://xn--bcher-kva.example/x") == "http://xn--bcher-kva.example/x")
+    // UTS-46 NONTRANSITIONAL deviation semantics (r5): the url crate
+    // keeps the sharp s and encodes it -- IDNA2003 (java.net.IDN)
+    // folded it to `strasse.de`
+    assert(render("http://stra\u00dfe.de/x") == "http://xn--strae-oqa.de/x")
+    // final sigma kept; capital sigma maps to plain lowercase sigma
+    assert(render("http://\u03c3\u03cc\u03bb\u03bf\u03c2.example/") ==
+      "http://xn--wxaijb9b.example/")
+    // soft hyphen deleted by the mapping
+    assert(render("http://b\u00adu\u0308cher.example/x") == "http://xn--bcher-kva.example/x")
+    // ASCII-invalid chars surviving the mapping still reject the host
+    assert(parse("http://b\u00fcch er.example/x").isEmpty)
   }
 
   test("ASCII reg-name behavior is unchanged by the widening (property)") {
