@@ -49,6 +49,7 @@ object SparkEntry {
     // --- deterministic sampling / data mixing ---
     "q_hash_sample" -> ((s: SparkSession, d: String) => Sampling.hashSample(s, d)),
     "q_stratified_sample" -> ((s: SparkSession, d: String) => Sampling.stratifiedSample(s, d)),
+    "q_mix_sources" -> ((s: SparkSession, d: String) => Sampling.mixSources(s, d)),
     // --- text analysis ---
     "q_token_count" -> (TextOps.tokenCount _),
     "q_bpe_token_count" -> (TextOps.bpeTokenCount _),

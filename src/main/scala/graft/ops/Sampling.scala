@@ -72,7 +72,41 @@ object Sampling {
       .select($"doc_id", $"source", $"rnk")
   }
 
+  /** The round's declared data-mix: per-source keep rates in percent
+    * (deterministic function of the source index, so sf0.001 and sf0.1
+    * declare the same mix). ONE Scala value interpolated into both the
+    * operator and the oracle CASE — the mix can't silently drift
+    * between engine and check. */
+  val MixRates: Seq[(String, Int)] =
+    (0 until 20).map(i => s"src$i" -> (10 + (i * 7) % 90))
+
+  /** Weighted source mixing — the data-mixing step of corpus assembly
+    * (upsample curated sources, downsample bulk crawl): per-source
+    * Bernoulli keep rates over the SAME hash draw as [[hashSample]],
+    * evaluated as one codegen'd CASE predicate per row. Zero shuffles
+    * (plan-gated), reproducible, and rate-monotone per source (raising
+    * a source's rate keeps every previously kept doc — stable
+    * incremental remixes, unlike rand()). */
+  def mixSources(spark: SparkSession, dir: String,
+                 rates: Seq[(String, Int)] = MixRates,
+                 defaultPct: Int = 10): DataFrame = {
+    import spark.implicits._
+    val rate = rates.foldLeft(lit(defaultPct)) { case (acc, (src, r)) =>
+      when($"source" === src, lit(r)).otherwise(acc)
+    }
+    docs(spark, dir)
+      .select($"doc_id", $"source", sampleHash($"doc_id").as("h"))
+      .filter($"h" % 100 < rate)
+      .select($"doc_id", $"source")
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_mix_sources" -> {
+      val cases = MixRates.map { case (s, r) => s"WHEN '$s' THEN $r" }.mkString(" ")
+      s"""SELECT doc_id, source
+         |FROM read_parquet('{AUX}/sample_hashes/*.parquet')
+         |WHERE h % 100 < CASE source $cases ELSE 10 END""".stripMargin
+    },
     "q_hash_sample" ->
       """SELECT doc_id, source
         |FROM read_parquet('{AUX}/sample_hashes/*.parquet')

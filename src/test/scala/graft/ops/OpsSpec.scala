@@ -554,6 +554,35 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("source mixing: rate-monotone subsets, declared rates realized within binomial error") {
+    val sfDir = "/root/testdata/sf0.001"
+    val all = spark.read.parquet(s"$sfDir/documents.parquet")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def ids(rates: Seq[(String, Int)]) =
+      Sampling.mixSources(spark, sfDir, rates).collect().map(_.getLong(0)).toSet
+    val sources = all.keys.toSeq
+    // rate 0 keeps nothing, rate 100 keeps everything
+    assert(ids(sources.map(_ -> 0)).isEmpty)
+    assert(ids(sources.map(_ -> 100)).size == all.values.sum)
+    // monotone: raising every rate keeps every previously kept doc
+    val lo = ids(sources.map(_ -> 20))
+    val hi = ids(sources.map(_ -> 60))
+    assert(lo.subsetOf(hi), s"rate raise dropped ${lo -- hi}")
+    // the default mix realizes each source's declared rate within
+    // binomial noise (n=25/source at sf0.001: 4 sigma ~ 40 pct points
+    // — loose, but catches a broken predicate or skewed hash outright)
+    val got = Sampling.mixSources(spark, sfDir).groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Sampling.MixRates.foreach { case (src, pct) =>
+      val n = all(src).toDouble
+      val expect = n * pct / 100.0
+      val tol = 4 * math.sqrt(n * (pct / 100.0) * (1 - pct / 100.0)) + 1
+      val k = got.getOrElse(src, 0L).toDouble
+      assert(math.abs(k - expect) <= tol, s"$src: kept $k, declared $expect +- $tol")
+    }
+  }
+
   // ---------------------------------------------- hot-bucket df caps
 
   /** The engine's chunk-pair band keys of a 64-bit hash, replayed

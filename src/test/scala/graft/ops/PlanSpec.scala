@@ -216,6 +216,8 @@ class PlanSpec extends SparkTestBase {
   test("hash sample never shuffles; stratified = salted pre-limit + bounded final window") {
     val p1 = plan(Sampling.hashSample(spark, dir))
     assert(!p1.contains("Exchange"), "bernoulli-by-hash must not shuffle:\n" + p1)
+    val pm = plan(Sampling.mixSources(spark, dir))
+    assert(!pm.contains("Exchange"), "weighted mix must not shuffle:\n" + pm)
     // the skew-proof shape: one (source, salt) shuffle for the
     // pre-limit, one source shuffle for the final (bounded) window -
     // a single unlimited window would sort a whole stratum in one task
