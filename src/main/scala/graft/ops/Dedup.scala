@@ -307,6 +307,11 @@ object Dedup {
     * as a driver OOM inside AQE\'s explainString at sf0.1). The
     * checkpoint data is a few rows per graph node and is already
     * materialized by the convergence count. */
+  /** Rounds the last [[distributedComponents]] run took — exposed so
+    * the spec can evidence the O(log diameter) convergence claim on a
+    * planted long chain (test-only observability, not a semantic). */
+  private[ops] val lastDistributedRounds = new java.util.concurrent.atomic.AtomicInteger(0)
+
   private def distributedComponents(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
@@ -345,6 +350,7 @@ object Dedup {
       if (sys.env.contains("GRAFT_WAVE_TIMING"))
         println(s"[clusterLabels] round $rounds changed=$changed")
     }
+    lastDistributedRounds.set(rounds)
     labels
   }
 

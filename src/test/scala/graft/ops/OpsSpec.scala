@@ -176,6 +176,24 @@ class OpsSpec extends SparkTestBase {
     assert(got == want, got.toString)
   }
 
+  test("distributed components converge in O(log diameter) rounds on a long chain") {
+    val spark0 = spark
+    import spark0.implicits._
+    // a 129-node chain (diameter 128): plain min-label propagation
+    // needs ~128 rounds; with pointer jumping the distance to the
+    // component min halves per round, so ~log2(128)+slack. The bound
+    // evidences the convergence claim the operator's scale story
+    // rests on, not just its final labels.
+    val n = 129
+    val nodes = (0 until n).map(_.toLong).toDF("doc_id")
+    val pairs = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong)).toDF("a_id", "b_id")
+    val got = Dedup.clusterLabels(nodes, pairs, driverMaxEdges = -1L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0 until n).map(_.toLong -> 0L).toMap, "chain must collapse to node 0")
+    val rounds = Dedup.lastDistributedRounds.get()
+    assert(rounds <= 12, s"pointer jumping should need ~log2(128)+slack rounds, took $rounds")
+  }
+
   test("decontaminate fp cap: a planted mega-duplicate binds, real contamination survives") {
     val spark0 = spark
     import spark0.implicits._
