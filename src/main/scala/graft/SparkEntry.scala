@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.SynthWeb
 import graft.crawl.{CrawlConfig, Crawler}
-import graft.ops.{Audio, Dedup, Multimodal, Relational, Sampling, Similarity, Sketches, TextOps}
+import graft.ops.{Audio, Curation, Dedup, Multimodal, Relational, Sampling, Similarity, Sketches, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -61,6 +61,7 @@ object SparkEntry {
     "q_repetition" -> (TextOps.repetition _),
     // --- dedup ---
     "q_dedup_exact" -> (Dedup.exactDedup _),
+    "q_curate" -> (graft.ops.Curation.curate _),
     "q_decontaminate" -> (Dedup.decontaminate _),
     "q_decontaminate_ngram" -> ((s: SparkSession, d: String) => Dedup.decontaminateNgram(s, d)),
     "q_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
@@ -106,7 +107,7 @@ object SparkEntry {
     * (rows-only check; exact verification in ScalaTest): the two real
     * binary decoders (image/audio features) and the crawl loop. */
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ TextOps.oracle ++ Dedup.oracle ++ Similarity.oracle ++
+    Relational.oracle ++ TextOps.oracle ++ Dedup.oracle ++ Curation.oracle ++ Similarity.oracle ++
       Multimodal.oracle ++ Audio.oracle ++ Sketches.oracle ++ Sampling.oracle ++
       graft.streaming.EventStream.oracle
 

@@ -210,9 +210,13 @@ object TextOps {
     * full-data shuffle on (doc_id, bigram) with map-side partial
     * counts; the per-doc max/sum then runs over the already-collapsed
     * counts (sketch-sized, like the histogram percentile). */
-  def repetition(spark: SparkSession, dir: String): DataFrame = {
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionOf(docs(spark, dir))
+
+  private[ops] def repetitionOf(corpus: DataFrame): DataFrame = {
+    val spark = corpus.sparkSession
     import spark.implicits._
-    val bigrams = docs(spark, dir)
+    val bigrams = corpus
       .select($"doc_id", split(trim($"text"), "\\s+").as("w"))
       .filter(size($"w") >= 2)
       .select($"doc_id", explode(

@@ -176,6 +176,23 @@ class OpsSpec extends SparkTestBase {
     assert(got == want, got.toString)
   }
 
+  test("curation pipeline: each stage drops exactly its planted offender") {
+    val spark0 = spark
+    import spark0.implicits._
+    // every bigram distinct (each clause's tokens are indexed), so the
+    // repetition gate passes; "the"/"and"/"a" give the stopword hits
+    def good(n: Int) = (0 until n).map(i => s"the w$i and x$i a y$i").mkString(" ")
+    val rows = Seq(
+      (0L, good(10), "a"),                    // survives (60 tokens, stopwords, varied)
+      (1L, good(10), "a"),                    // exact dup of 0 -> dedup drops (keep 0)
+      (2L, "too short", "a"),                 // quality: < 20 tokens
+      (3L, Seq.fill(30)("word").mkString(" "), "a"), // quality: no stopwords; also repetitive
+      (4L, "the spam " * 15 + good(2), "a"))  // stopwords+long but top bigram dominates
+    val corpus = rows.toDF("doc_id", "text", "source")
+    val kept = Curation.curateCorpus(corpus).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L), s"kept $kept")
+  }
+
   test("distributed components converge in O(log diameter) rounds on a long chain") {
     val spark0 = spark
     import spark0.implicits._

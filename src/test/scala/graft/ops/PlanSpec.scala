@@ -232,6 +232,17 @@ class PlanSpec extends SparkTestBase {
     assert("Window".r.findAllIn(p3).size >= 2, p3)
   }
 
+  test("curation pipeline composes without any quadratic operator") {
+    val p = plan(graft.ops.Curation.curate(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "composition introduced an all-pairs operator:\n" + p)
+    // stages: fp window (dedup) + the repetition aggregation pair + one
+    // doc_id join — composing must not multiply shuffles beyond the
+    // standalone operators' own
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges <= 6, s"composition shuffle count crept up ($exchanges):\n" + p)
+  }
+
   test("cosine near-dup plan has no cartesian product") {
     val p = plan(Similarity.cosineNearDup(spark, dir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
