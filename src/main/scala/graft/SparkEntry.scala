@@ -59,6 +59,8 @@ object SparkEntry {
     "q_lang_id" -> (TextOps.langId _),
     "q_fingerprint" -> (TextOps.fingerprint _),
     "q_repetition" -> (TextOps.repetition _),
+    "q_line_dedup" -> (TextOps.lineDedup _),
+    "q_pii_redact" -> (TextOps.piiRedact _),
     // --- dedup ---
     "q_dedup_exact" -> (Dedup.exactDedup _),
     "q_curate" -> (graft.ops.Curation.curate _),

@@ -268,6 +268,46 @@ class OpsSpec extends SparkTestBase {
     assert(res == Map(0L -> ((4L, 4L)), 1L -> ((1L, 4L))), res.toString)
   }
 
+  test("line dedup: df>=3 dropped, df=2 kept, intra-doc repeats count once, empty doc survives") {
+    val spark0 = spark
+    import spark0.implicits._
+    val corpus = Seq(
+      (0L, "alpha\nnav\nbeta\npair"),   // nav (df=4) dropped, rest kept in order
+      (1L, "nav\npair\ndelta"),         // pair shared by exactly 2 docs: kept
+      (2L, "nav\nepsilon"),
+      (3L, "nav\nnav\nnav"),            // fully boilerplate: survives, clean_text = ''
+      (4L, "solo\nsolo\nsolo"),         // 4 occurrences but only 2 DISTINCT docs: kept
+      (5L, "solo"))
+      .toDF("doc_id", "text")
+    val res = TextOps.lineDedupOf(corpus).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(res == Map(
+      0L -> (("alpha\nbeta\npair", 3L, 1L)),
+      1L -> (("pair\ndelta", 2L, 1L)),
+      2L -> (("epsilon", 1L, 1L)),
+      3L -> (("", 0L, 3L)),
+      4L -> (("solo\nsolo\nsolo", 3L, 0L)),
+      5L -> (("solo", 1L, 0L))), res.toString)
+  }
+
+  test("PII redaction: all three families redacted in order, counts on original text") {
+    val spark0 = spark
+    import spark0.implicits._
+    val corpus = Seq(
+      (0L, "reach bob@x.co or 1.2.3.4 tel 555-1234 ok"),
+      (1L, "no pii in this row at all"),
+      (2L, "a@b.io then c.d-e@f.org.uk twice"),          // two emails, one with dots/dashes
+      (3L, "ip 10.0.0.255 and 192.168.1.1 but 555-12 is too short"))
+      .toDF("doc_id", "text")
+    val res = TextOps.piiRedactOf(corpus).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(res == Map(
+      0L -> (("reach <EMAIL> or <IP> tel <PHONE> ok", 1L, 1L, 1L)),
+      1L -> (("no pii in this row at all", 0L, 0L, 0L)),
+      2L -> (("<EMAIL> then <EMAIL> twice", 2L, 0L, 0L)),
+      3L -> (("ip <IP> and <IP> but 555-12 is too short", 0L, 2L, 0L))), res.toString)
+  }
+
   test("sequence packing chains offsets across partitions of ONE giant source") {
     val spark0 = spark
     import spark0.implicits._

@@ -113,6 +113,26 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("partial_"), "no map-side combine:\n" + p)
   }
 
+  test("line dedup: line-keyed anti join, no self-join, bounded shuffles") {
+    val p = plan(TextOps.lineDedup(spark, dir))
+    // shuffles: the per-line df aggregation, the anti-join's probe side
+    // (the hot set reuses the agg partitioning), the doc_id reassembly,
+    // and the totals side of the doc_id join. A boilerplate line in f
+    // docs costs f anti-join rows, never f² — there must be no
+    // line×line self-join and nothing cartesian.
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges <= 4, s"expected <=4 shuffles, got $exchanges:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftAnti"), "hot-line removal is not an anti join:\n" + p)
+    assert(p.contains("partial_count"), "no map-side combine on the df agg:\n" + p)
+  }
+
+  test("PII redaction runs scan->project with no shuffle at all") {
+    val p = plan(TextOps.piiRedact(spark, dir))
+    assert(!p.contains("Exchange"), "unexpected shuffle:\n" + p)
+    assert(p.contains("codegen id"), "regex pass fell out of codegen:\n" + p)
+  }
+
   test("IVF inverted-list probe prunes partitions at the scan") {
     val pruned = Similarity.ivfPrunedScan(spark, dir, nCentroids = 16, clusters = Seq(0, 1))
     val p = plan(pruned)
