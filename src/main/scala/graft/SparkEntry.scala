@@ -44,6 +44,7 @@ object SparkEntry {
     "q_sessionize" -> (graft.streaming.EventStream.sessionizeBatch _),
     // --- approximate-metrics sketches (deterministic, oracle-exact) ---
     "q_approx_distinct" -> (Sketches.approxDistinct _),
+    "q_countmin" -> (Sketches.countMin _),
     "q_histogram_percentile" -> (Sketches.histogramPercentile _),
     "q_bottomk_quantile" -> ((s: SparkSession, d: String) => Sketches.bottomkQuantile(s, d)),
     // --- deterministic sampling / data mixing ---
@@ -131,6 +132,7 @@ object SparkEntry {
     "audio_pcm" -> ((s, _) => Audio.pcmAux(s)),
     "distinct_hashes" -> ((s, d) => Sketches.distinctHashesAux(s, d)),
     "bottomk_hashes" -> ((s, d) => Sketches.bottomkHashesAux(s, d)),
-    "sample_hashes" -> ((s, d) => Sampling.sampleHashesAux(s, d))
+    "sample_hashes" -> ((s, d) => Sampling.sampleHashesAux(s, d)),
+    "cm_buckets" -> ((s, d) => Sketches.cmBucketsAux(s, d))
   )
 }

@@ -184,7 +184,81 @@ object Sketches {
     sorted(math.min(sorted.size - 1, math.max(0, math.ceil(p * sorted.size).toInt - 1)))
   }
 
+  // ------------------------------------------------- count-min sketch
+
+  /** Depth 4 × width 256. Point-query error is an OVERestimate only,
+    * bounded per row by the colliding mass (expected N/w), taken min
+    * over the 4 independent rows; production widens w with the
+    * identical plan shape. */
+  val CmDepth = 4
+  val CmWidth = 256
+
+  /** Row-r bucket of an item — ONE shared expression for the operator,
+    * the aux dump, and the point query, so the oracle contract cannot
+    * drift. Seeds disjoint from the HLL (42) / bottom-k (13) /
+    * sampling families; pmod keeps the bucket non-negative for the raw
+    * signed hash. */
+  private def cmBucket(c: Column, r: Int): Column =
+    pmod(xxhash64(lit(1000L + r), c), lit(CmWidth.toLong))
+
+  /** The d (r, bucket) probes of one item, as an exploded column. */
+  private def cmProbes(c: Column): Column =
+    explode(array((0 until CmDepth).map(r =>
+      struct(lit(r).as("r"), cmBucket(c, r).as("bucket"))): _*))
+
+  /** (user_id, r, bucket) dump for the {AUX} oracle — the oracle
+    * recomputes the per-user counts itself and replays only the
+    * bucket routing (xxhash64 is not a DuckDB function). */
+  def cmBucketsAux(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir).select($"user_id").distinct()
+      .select($"user_id", cmProbes($"user_id").as("rb"))
+      .select($"user_id", $"rb.r".as("r"), $"rb.bucket".as("bucket"))
+  }
+
+  /** Count-min sketch of per-user event counts: counter (r, bucket) =
+    * total count of the items row r hashes there. Like the HLL
+    * registers, the counter grid IS the output — deterministic integer
+    * sums, mergeable (sketch of a union = sum of sketches), at most
+    * depth × width rows regardless of input size — which is what makes
+    * an "approx" operator oracle-exact; estimates are epilogues
+    * ([[cmEstimates]]).
+    *
+    * Plan: ONE full-data shuffle collapsing to per-item counts
+    * (map-side combine), then the depth-way explode runs over DISTINCT
+    * items only — never depth × the raw events — and collapses onto
+    * the fixed grid (second, item-sized shuffle). Empty counters are
+    * absent (sparse), consistently in both engines. */
+  def countMin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir).groupBy($"user_id").agg(count(lit(1)).as("n"))
+      .select($"n", cmProbes($"user_id").as("rb"))
+      .groupBy($"rb.r".as("r"), $"rb.bucket".as("bucket"))
+      .agg(sum($"n").as("cnt"))
+  }
+
+  /** Distributed point query: re-derive each queried item's d probes
+    * with the shared [[cmBucket]], broadcast the fixed-size sketch
+    * (≤ depth × width rows by construction — always broadcastable),
+    * and take the min counter over rows. Never an overcount-free
+    * estimate, never an undercount. */
+  def cmEstimates(spark: SparkSession, dir: String, items: DataFrame): DataFrame = {
+    val spark0 = items.sparkSession
+    import spark0.implicits._
+    items
+      .select($"user_id", cmProbes($"user_id").as("rb"))
+      .select($"user_id", $"rb.r".as("r"), $"rb.bucket".as("bucket"))
+      .join(broadcast(countMin(spark, dir)), Seq("r", "bucket"))
+      .groupBy($"user_id").agg(min($"cnt").as("est"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_countmin" ->
+      """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+        |b AS (SELECT * FROM read_parquet('{AUX}/cm_buckets/*.parquet'))
+        |SELECT b.r, b.bucket, CAST(sum(c.n) AS BIGINT) AS cnt
+        |FROM c JOIN b ON c.user_id = b.user_id
+        |GROUP BY 1, 2""".stripMargin,
     "q_bottomk_quantile" ->
       ("""SELECT event_type, rnk, h, val_cents FROM (
         |  SELECT event_type, h, val_cents,

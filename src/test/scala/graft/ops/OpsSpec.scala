@@ -629,6 +629,34 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("count-min sketch: per-row mass conserved, point estimates never undercount") {
+    val sfDir = "/root/testdata/sf0.001"
+    val sketch = Sketches.countMin(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val truth = spark.read.parquet(s"$sfDir/events.parquet")
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = truth.values.sum
+    // mass conservation: every hash row's counters sum to ALL events
+    (0 until Sketches.CmDepth).foreach { r =>
+      assert(sketch.filter(_._1 == r).map(_._3).sum == n, s"row $r lost mass")
+    }
+    // the CMS hard guarantee: min-over-rows never undercounts
+    val items = spark.read.parquet(s"$sfDir/events.parquet").select("user_id").distinct()
+    val est = Sketches.cmEstimates(spark, sfDir, items).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(est.keySet == truth.keySet)
+    truth.foreach { case (u, t) =>
+      assert(est(u) >= t, s"user $u undercounted: est=${est(u)} true=$t")
+    }
+    // overestimate envelope: expected colliding mass is n/w per row,
+    // min over CmDepth independent rows — 4x expectation is generous
+    // and the hashes are fixed, so this is a deterministic check
+    val maxOver = truth.map { case (u, t) => est(u) - t }.max
+    assert(maxOver <= 4L * n / Sketches.CmWidth,
+      s"max overestimate $maxOver vs envelope ${4L * n / Sketches.CmWidth}")
+  }
+
   test("source mixing: rate-monotone subsets, declared rates realized within binomial error") {
     val sfDir = "/root/testdata/sf0.001"
     val all = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -252,6 +252,21 @@ class PlanSpec extends SparkTestBase {
     assert("Window".r.findAllIn(p3).size >= 2, p3)
   }
 
+  test("count-min: full-data + item-sized shuffles only; point query broadcasts the sketch") {
+    val p = plan(graft.ops.Sketches.countMin(spark, dir))
+    // shuffle 1 collapses the raw events to per-item counts (map-side
+    // partial_count); shuffle 2 runs over the depth-exploded DISTINCT
+    // items only, landing on the fixed depth x width grid — the explode
+    // must never run over the raw event stream
+    val ex = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(ex == 2, s"expected 2 shuffles (per-item + grid), got $ex:\n" + p)
+    assert(p.contains("partial_count"), "no map-side combine on the item counts:\n" + p)
+    val items = spark.read.parquet(s"$dir/events.parquet").select("user_id").distinct()
+    val pq = plan(graft.ops.Sketches.cmEstimates(spark, dir, items))
+    assert(pq.contains("BroadcastHashJoin"),
+      "sketch (<= depth x width rows) must broadcast to the probes:\n" + pq)
+  }
+
   test("curation pipeline composes without any quadratic operator") {
     val p = plan(graft.ops.Curation.curate(spark, dir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
