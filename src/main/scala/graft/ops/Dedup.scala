@@ -507,7 +507,92 @@ object Dedup {
       .filter($"hamming" <= maxHamming)
   }
 
+  // ------------------------------------------------ duplicated-span profile
+
+  /** Window width for the duplicated-span profile — 3 words, matching
+    * the shingle family (production uses ~50-token windows with the
+    * identical plan shape; cf. Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", whose suffix-array
+    * measurement this re-expresses relationally). */
+  val DupSpanN = 3
+
+  /** Per-doc duplicated-token coverage: how many of a doc's tokens sit
+    * inside at least one word n-gram that also occurs in ANOTHER
+    * document of the corpus (cross-doc only — a shingle repeated
+    * solely within one doc is intra-doc repetition, `repetition`'s
+    * job). Runs over [[benchCorpus]] so the planted every-7th-doc
+    * duplicates guarantee full-coverage rows (dup_tokens = n_tokens)
+    * next to the natural partial overlaps — non-vacuous by
+    * construction.
+    *
+    * Coverage is the union length of the fixed-width windows, computed
+    * as a running-gap sum (each dup window past the first adds
+    * min(n, i - prev_i) newly covered tokens) — gaps-and-islands over
+    * one doc_id window, never an explode of n rows per covered
+    * position. A shingle duplicated across f docs costs f semi-join
+    * rows, never f²: there is no self-join in this operator. */
+  def dupSpans(spark: SparkSession, dir: String): DataFrame =
+    dupSpansOf(benchCorpus(spark, dir))
+
+  private[ops] def dupSpansOf(corpus: DataFrame, n: Int = DupSpanN): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val wins = corpus
+      .select($"doc_id", split(trim($"text"), "\\s+").as("w"))
+      .filter(size($"w") >= n)
+      .select($"doc_id", explode(
+        transform(sequence(lit(1), size($"w") - (n - 1)), i =>
+          struct(i.as("i"), concat_ws(" ",
+            (0 until n).map(o => element_at(col("w"), i + o)): _*).as("shingle")))
+      ).as("x"))
+      .select($"doc_id", $"x.i".as("i"), $"x.shingle".as("shingle"))
+      .persist()
+    val dup = wins.groupBy($"shingle")
+      .agg(countDistinct($"doc_id").as("ddf"))
+      .filter($"ddf" >= 2).select($"shingle")
+    val ow = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"i")
+    val cov = wins.join(dup, Seq("shingle"), "left_semi")
+      .withColumn("prev", lag($"i", 1).over(ow))
+      .select($"doc_id",
+        when($"prev".isNull, lit(n.toLong))
+          .otherwise(least(lit(n.toLong), ($"i" - $"prev").cast("bigint"))).as("add"))
+      .groupBy($"doc_id").agg(sum($"add").as("dup_tokens"))
+    corpus
+      .select($"doc_id",
+        size(split(trim($"text"), "\\s+")).cast("bigint").as("n_tokens"))
+      .join(cov, Seq("doc_id"), "left_outer")
+      .select($"doc_id", $"n_tokens",
+        coalesce($"dup_tokens", lit(0L)).as("dup_tokens"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_dup_spans" -> {
+      val shingleSql = (0 until DupSpanN).map(o => s"w[i+$o]").mkString(" || ' ' || ")
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 7 = 0),
+         |toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM corpus),
+         |wins AS (
+         |  SELECT doc_id, i, $shingleSql AS shingle
+         |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - ${DupSpanN - 1})) AS i
+         |        FROM toks WHERE len(w) >= $DupSpanN)),
+         |dup AS (SELECT shingle FROM wins GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+         |lagged AS (
+         |  SELECT doc_id, i, lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+         |  FROM wins WHERE shingle IN (SELECT shingle FROM dup)),
+         |cov AS (
+         |  SELECT doc_id, CAST(sum(CASE WHEN prev IS NULL THEN $DupSpanN
+         |    ELSE least($DupSpanN, i - prev) END) AS BIGINT) AS dup_tokens
+         |  FROM lagged GROUP BY 1),
+         |tot AS (SELECT doc_id,
+         |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+         |  FROM corpus)
+         |SELECT t.doc_id, t.n_tokens,
+         |  CAST(coalesce(c.dup_tokens, 0) AS BIGINT) AS dup_tokens
+         |FROM tot t LEFT JOIN cov c ON c.doc_id = t.doc_id""".stripMargin
+    },
     "q_dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS text_fp, min(doc_id) AS keep_id,
         |count(*) AS copies FROM documents GROUP BY 1""".stripMargin,

@@ -268,6 +268,26 @@ class OpsSpec extends SparkTestBase {
     assert(res == Map(0L -> ((4L, 4L)), 1L -> ((1L, 4L))), res.toString)
   }
 
+  test("dup spans: interval union, cross-doc only, full coverage for exact copies") {
+    val spark0 = spark
+    import spark0.implicits._
+    val corpus = Seq(
+      (0L, "x1 x2 x3 x4 x5"),            // all 3 windows shared with doc 2 -> full coverage
+      (1L, "x1 x2 x3 zz yy"),            // only the first window shared -> 3 of 5
+      (2L, "x1 x2 x3 x4 x5"),            // exact copy of doc 0 -> full coverage
+      (3L, "q w e r t y"),               // nothing shared -> 0
+      (4L, "p p p p"),                   // intra-doc repeat only (ddf=1) -> 0
+      (5L, "s t"),                       // shorter than the window -> 0
+      (6L, "x1 x2 x3 g1 g2 g3 g4 x1 x2 x3")) // two disjoint islands -> 3 + 3
+      .toDF("doc_id", "text")
+    val res = Dedup.dupSpansOf(corpus).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(res == Map(
+      0L -> ((5L, 5L)), 1L -> ((5L, 3L)), 2L -> ((5L, 5L)),
+      3L -> ((6L, 0L)), 4L -> ((4L, 0L)), 5L -> ((2L, 0L)),
+      6L -> ((10L, 6L))), res.toString)
+  }
+
   test("line dedup: df>=3 dropped, df=2 kept, intra-doc repeats count once, empty doc survives") {
     val spark0 = spark
     import spark0.implicits._

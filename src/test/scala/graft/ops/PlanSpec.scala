@@ -127,6 +127,16 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("partial_count"), "no map-side combine on the df agg:\n" + p)
   }
 
+  test("dup spans: semi join + one doc window, no self-join, bounded shuffles") {
+    val p = plan(graft.ops.Dedup.dupSpans(spark, dir))
+    // a shingle in f docs is f semi-join rows, never f² — the coverage
+    // is a running-gap window, not an explode per covered token
+    val ex = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(ex <= 5, s"expected <=5 shuffles, got $ex:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftSemi"), "dup-window filter is not a semi join:\n" + p)
+  }
+
   test("PII redaction runs scan->project with no shuffle at all") {
     val p = plan(TextOps.piiRedact(spark, dir))
     assert(!p.contains("Exchange"), "unexpected shuffle:\n" + p)
