@@ -70,6 +70,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "q_dedup_clusters" -> (Dedup.dedupClusters _),
     "q_dup_spans" -> (Dedup.dupSpans _),
+    "q_semdedup" -> (Dedup.semDedup _),
     "q_minhash_neardup" -> ((s: SparkSession, d: String) => Dedup.minhashNearDup(s, d)),
     "q_simhash_neardup" -> ((s: SparkSession, d: String) => Dedup.simhashNearDup(s, d)),
     // --- similarity search ---

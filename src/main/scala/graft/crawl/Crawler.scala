@@ -337,8 +337,12 @@ class Crawler(spark: SparkSession, cfg: CrawlConfig) extends Serializable {
       // so its admission + fetch overlap this commit tail
       seenReady = for { _ <- fSeen; _ <- fBloom } yield ()
       Await.result(fFrontier, Duration.Inf)
-      cands.unpersist(false)
-      (parsed, novel)
+      // cands is released in the wave TAIL, not here: fSeen/fBloom have
+      // escaped this wave and a novel partition whose cached block fell
+      // back recomputes THROUGH cands — unpersisting on this thread
+      // races that read (observed once as a mid-read
+      // "Block rdd_N does not exist" under a concurrent full suite)
+      (parsed, novel, cands)
     }
 
     // ====================== images chain ======================
@@ -368,7 +372,7 @@ class Crawler(spark: SparkSession, cfg: CrawlConfig) extends Serializable {
       fetchedImages
     }
 
-    val (parsed, novel) = Await.result(pagesChain, Duration.Inf)
+    val (parsed, novel, cands) = Await.result(pagesChain, Duration.Inf)
     val fetchedImages = Await.result(imagesChain, Duration.Inf)
     Await.result(budgetChain, Duration.Inf) // next wave reads budget_{k+1}
     val readyThisWave = seenReady           // seen+bloom tail of THIS wave
@@ -422,6 +426,7 @@ class Crawler(spark: SparkSession, cfg: CrawlConfig) extends Serializable {
         "bloom_items" -> (if (cfg.bloom) bloomState.itemsAdded else 0L)))
       admitted.unpersist(false); parsed.unpersist(false)
       novel.unpersist(false); fetchedImages.unpersist(false)
+      cands.unpersist(false)
     }
     nextCount
   }

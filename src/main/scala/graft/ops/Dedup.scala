@@ -507,6 +507,26 @@ object Dedup {
       .filter($"hamming" <= maxHamming)
   }
 
+  // ------------------------------------------------------- semantic dedup
+
+  /** SemDeDup (Abbas et al. 2023): collapse groups of EMBEDDING-space
+    * near-duplicates to one representative — the semantic sibling of
+    * [[dedupClusters]]'s lexical components, over the same
+    * [[clusterLabels]] engine (driver union-find under the edge bound,
+    * distributed min-label + pointer jumping above). Edges come from
+    * [[Similarity.cosineNearDup]] — SRP-banded candidates, exact
+    * cosine verification, never an all-pairs join — so the oracle
+    * replays banding from the aux key dump and components via the
+    * recursive CTE, both contracts it already has. Keep = component
+    * min, deterministic. */
+  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nodes = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id".as("doc_id"))
+    clusterLabels(nodes, Similarity.cosineNearDup(spark, dir))
+      .select($"doc_id".as("vec_id"), $"cluster", $"keep")
+  }
+
   // ------------------------------------------------ duplicated-span profile
 
   /** Window width for the duplicated-span profile — 3 words, matching
@@ -567,6 +587,28 @@ object Dedup {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_semdedup" ->
+      """WITH RECURSIVE keys AS (SELECT * FROM read_parquet('{AUX}/neardup_bands/*.parquet')),
+        |cands AS (
+        |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM keys a JOIN keys b ON a.band = b.band AND a.bk = b.bk
+        |       AND a.vec_id < b.vec_id),
+        |pairs AS (
+        |  SELECT c.a_id, c.b_id
+        |  FROM cands c JOIN embeddings a ON a.vec_id = c.a_id
+        |  JOIN embeddings b ON b.vec_id = c.b_id
+        |  WHERE list_dot_product(a.embedding, b.embedding) /
+        |    (sqrt(list_dot_product(a.embedding, a.embedding)) *
+        |     sqrt(list_dot_product(b.embedding, b.embedding))) >= 0.4),
+        |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        |          UNION ALL SELECT b_id, a_id FROM pairs),
+        |reach(node, label) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node)
+        |SELECT node AS vec_id, min(label) AS cluster,
+        |  min(label) = node AS keep
+        |FROM reach GROUP BY 1""".stripMargin,
     "q_dup_spans" -> {
       val shingleSql = (0 until DupSpanN).map(o => s"w[i+$o]").mkString(" || ' ' || ")
       s"""WITH corpus AS (

@@ -268,6 +268,29 @@ class OpsSpec extends SparkTestBase {
     assert(res == Map(0L -> ((4L, 4L)), 1L -> ((1L, 4L))), res.toString)
   }
 
+  test("semdedup collapses each planted embedding cluster to one representative") {
+    val res = Dedup.semDedup(spark, embDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(res.size == 100)
+    // a planted cluster's members are mutually near-identical, so the
+    // component NEVER splits them (two random centers MAY merge at
+    // cos >= 0.4 — cluster 0 and 1 do — so equality-to-own-min would
+    // over-assert)
+    (0 until 10).foreach { c =>
+      val ids = (c * 8 until c * 8 + 8).map(_.toLong)
+      val labels = ids.map(res(_)._1).toSet
+      assert(labels.size == 1, s"cluster $c split: $labels")
+    }
+    // dedup invariants: label = component min, exactly one keep per
+    // component and it is the labeled representative
+    res.groupBy(_._2._1).foreach { case (lbl, members) =>
+      assert(members.keys.min == lbl, s"component $lbl label is not its min id")
+      assert(members.count(_._2._2) == 1 && members(lbl)._2, s"component $lbl keeps")
+    }
+    // at least one real collapse happened (non-vacuous)
+    assert(res.count(_._2._2) < 100)
+  }
+
   test("dup spans: interval union, cross-doc only, full coverage for exact copies") {
     val spark0 = spark
     import spark0.implicits._
