@@ -86,6 +86,8 @@ object SparkEntry {
         .select("image_id", "w", "h", "fmt", "phash")),
     "q_phash_neardup" -> ((s: SparkSession, _: String) =>
       Multimodal.phashNearDup(Multimodal.syntheticImages(s, 64))),
+    "q_phash_clusters" -> ((s: SparkSession, _: String) =>
+      Multimodal.phashClusters(Multimodal.syntheticImages(s, 64))),
     "q_audio_features" -> ((s: SparkSession, _: String) =>
       Audio.audioFeatures(Audio.syntheticAudio(s, 64))),
     "q_video_frames" -> ((s: SparkSession, _: String) =>

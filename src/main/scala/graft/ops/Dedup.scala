@@ -272,11 +272,14 @@ object Dedup {
   /** Small-graph path: union-find with path compression on the driver,
     * then one pass mapping each root to its component min —
     * deterministic and identical to the distributed fixpoint. */
-  private def driverComponents(spark: SparkSession, edges: DataFrame): DataFrame = {
-    import spark.implicits._
-    val es = edges.as[(Long, Long)].collect()
-    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-    def find(x: Long): Long = {
+  /** Union-find with path compression, generic in the id type — Long
+    * doc ids and String image ids cluster through the same kernel.
+    * The representative is the component MIN under the type's natural
+    * ordering (for strings: code-unit order, which coincides with
+    * DuckDB's binary collation on the ASCII ids the corpus emits). */
+  private def unionFind[T](es: Iterable[(T, T)])(implicit ord: Ordering[T]): Seq[(T, T)] = {
+    val parent = scala.collection.mutable.HashMap.empty[T, T]
+    def find(x: T): T = {
       var r = x
       while (parent.getOrElse(r, r) != r) r = parent(r)
       var c = x
@@ -288,12 +291,22 @@ object Dedup {
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) parent(ra) = rb
     }
-    val compMin = scala.collection.mutable.HashMap.empty[Long, Long]
+    val compMin = scala.collection.mutable.HashMap.empty[T, T]
     parent.keys.foreach { n =>
       val r = find(n)
-      compMin(r) = math.min(compMin.getOrElse(r, n), n)
+      compMin(r) = ord.min(compMin.getOrElse(r, n), n)
     }
-    parent.keys.toSeq.sorted.map(n => (n, compMin(find(n)))).toDF("node", "label")
+    parent.keys.toSeq.sorted.map(n => (n, compMin(find(n))))
+  }
+
+  private def driverComponents(spark: SparkSession, edges: DataFrame): DataFrame = {
+    import spark.implicits._
+    edges.schema.head.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        unionFind(edges.as[(String, String)].collect()).toDF("node", "label")
+      case _ =>
+        unionFind(edges.as[(Long, Long)].collect()).toDF("node", "label")
+    }
   }
 
   /** Scale path: min-label propagation with pointer jumping.

@@ -136,6 +136,24 @@ object Multimodal {
       .filter($"hamming" <= maxHamming)
   }
 
+  /** Near-duplicate image CLUSTERS: connected components over the
+    * [[phashNearDup]] pair graph, resolved by the shared
+    * [[Dedup.clusterLabels]] engine (driver union-find under the edge
+    * bound, distributed min-label + pointer jumping above — the
+    * generic-id kernel runs on String image ids unchanged; component
+    * min under code-unit order, which coincides with DuckDB's binary
+    * collation on the ASCII ids the corpus emits). The image-side
+    * sibling of Dedup.dedupClusters (lexical) and Dedup.semDedup
+    * (embedding): keep = component-min representative, one image
+    * retained per visual near-duplicate group. */
+  def phashClusters(images: DataFrame): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    val nodes = images.select($"image_id".as("doc_id"))
+    Dedup.clusterLabels(nodes, phashNearDup(images).select($"a_id", $"b_id"))
+      .select($"doc_id".as("image_id"), $"cluster", $"keep")
+  }
+
   /** {AUX} oracle for [[phashNearDup]]: the perceptual hash itself
     * needs a real image decode (not SQL-expressible), but the banding +
     * popcount verify after it is — Verify dumps the deterministic
@@ -160,7 +178,38 @@ object Multimodal {
         |  CAST(bit_count(xor(a.phash, b2.phash)) AS INT) AS hamming
         |FROM bj a JOIN bj b2 ON a.c = b2.c AND a.ch = b2.ch
         |     AND a.image_id < b2.image_id
-        |WHERE bit_count(xor(a.phash, b2.phash)) <= 6""".stripMargin)
+        |WHERE bit_count(xor(a.phash, b2.phash)) <= 6""".stripMargin),
+    // components over the same banded near-dup graph, replayed as
+    // recursive reachability + min (the q_semdedup oracle pattern);
+    // the df cap is interpolated exactly like q_phash_neardup's
+    "q_phash_clusters" ->
+      ("""WITH RECURSIVE sig AS (SELECT * FROM read_parquet('{AUX}/phash_sigs/*.parquet')),
+        |cp AS (
+        |  SELECT c1.c AS c1, c2.c AS c2
+        |  FROM (SELECT unnest(generate_series(0, 7)) AS c) c1,
+        |       (SELECT unnest(generate_series(0, 7)) AS c) c2
+        |  WHERE c1.c < c2.c),
+        |b AS (
+        |  SELECT image_id, phash, c1 * 8 + c2 AS c,
+        |    ((phash >> (8 * c1)) & 255) | (((phash >> (8 * c2)) & 255) << 8) AS ch
+        |  FROM sig, cp),
+        |ok AS (SELECT c, ch FROM b GROUP BY 1, 2 HAVING count(*) <= """.stripMargin +
+      MaxPhashBandDf.toString + """),
+        |bj AS (SELECT b.* FROM b JOIN ok USING (c, ch)),
+        |nd AS (
+        |  SELECT DISTINCT a.image_id AS a_id, b2.image_id AS b_id
+        |  FROM bj a JOIN bj b2 ON a.c = b2.c AND a.ch = b2.ch
+        |       AND a.image_id < b2.image_id
+        |  WHERE bit_count(xor(a.phash, b2.phash)) <= 6),
+        |edges AS (SELECT a_id AS src, b_id AS dst FROM nd
+        |          UNION ALL SELECT b_id, a_id FROM nd),
+        |reach(node, label) AS (
+        |  SELECT image_id, image_id FROM sig
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node)
+        |SELECT node AS image_id, min(label) AS cluster,
+        |  min(label) = node AS keep
+        |FROM reach GROUP BY 1""".stripMargin)
   )
 
   /** Deterministic in-plan "video" corpus: n animated GIFs (the one

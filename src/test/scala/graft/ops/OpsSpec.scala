@@ -574,6 +574,38 @@ class OpsSpec extends SparkTestBase {
     assert(brute.nonEmpty, "test corpus should contain phash near-dups")
   }
 
+  test("phash clusters: brute-force components, one keep per cluster, String ids on both paths") {
+    val spark0 = spark
+    import spark0.implicits._
+    val imgs = Multimodal.syntheticImages(spark, 48).cache()
+    val hashes = imgs.select("image_id", "phash").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // brute-force connected components over the hamming<=6 pair graph
+    val parent = scala.collection.mutable.HashMap.empty[String, String]
+    def find(x: String): String = { var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r }
+    for { (a, ha) <- hashes; (b, hb) <- hashes if a < b
+          if java.lang.Long.bitCount(ha ^ hb) <= 6 } {
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
+    }
+    val comp = hashes.map(_._1).map(id => id -> (if (parent.contains(id)) find(id) else id)).toMap
+    val compMin = comp.groupBy(_._2).map { case (_, m) => m.head._2 -> m.keys.min }
+    val want = hashes.map(_._1).map(id => id -> ((compMin.getOrElse(comp(id), id), compMin.getOrElse(comp(id), id) == id))).toMap
+    val got = Multimodal.phashClusters(imgs).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+    assert(got == want, s"missing=${want.toSet -- got.toSet} extra=${got.toSet -- want.toSet}")
+    assert(got.values.count(!_._2) > 0, "corpus should contain at least one collapsed near-dup")
+    // the distributed pointer-jump path must produce the identical
+    // fixpoint on STRING ids (min/least are code-unit order — same as
+    // the driver union-find's Ordering[String])
+    val nodes = imgs.select($"image_id".as("doc_id"))
+    val pairs = Multimodal.phashNearDup(imgs).select($"a_id", $"b_id")
+    val gotDist = Dedup.clusterLabels(nodes, pairs, driverMaxEdges = -1L).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+    assert(gotDist == want, "distributed String-id path diverged from union-find")
+    imgs.unpersist()
+  }
+
   // ------------------------------------------- crawl-lake composition
 
   test("multimodal ops compose over the crawler's OWN images table") {
