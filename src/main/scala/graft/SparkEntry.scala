@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.SynthWeb
 import graft.crawl.{CrawlConfig, Crawler}
-import graft.ops.{Audio, Curation, Dedup, Multimodal, Relational, Sampling, Similarity, Sketches, TextOps}
+import graft.ops.{Audio, Curation, Dedup, Multimodal, Quantization, Relational, Sampling, Similarity, Sketches, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -80,6 +80,8 @@ object SparkEntry {
     "q_lsh_ann" -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
     "q_ivf_ann" -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
     "q_ivf_partitioned" -> ((s: SparkSession, d: String) => Similarity.ivfPartitionedTopK(s, d)),
+    "q_pq_codes" -> ((s: SparkSession, d: String) => Quantization.pqCodes(s, d)),
+    "q_pq_ann" -> ((s: SparkSession, d: String) => Quantization.pqAnn(s, d)),
     // --- multimodal (binary columns; real image decode, see Multimodal) ---
     "q_multimodal_features" -> ((s: SparkSession, _: String) =>
       Multimodal.imageFeatures(Multimodal.syntheticImages(s, 64))
@@ -116,7 +118,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracle ++ TextOps.oracle ++ Dedup.oracle ++ Curation.oracle ++ Similarity.oracle ++
       Multimodal.oracle ++ Audio.oracle ++ Sketches.oracle ++ Sampling.oracle ++
-      graft.streaming.EventStream.oracle
+      Quantization.oracle ++ graft.streaming.EventStream.oracle
 
   /** Deterministic intermediate dumps for the `{AUX}` oracles: name ->
     * builder of the signature/band-key DataFrame the oracle SQL
@@ -137,6 +139,7 @@ object SparkEntry {
     "distinct_hashes" -> ((s, d) => Sketches.distinctHashesAux(s, d)),
     "bottomk_hashes" -> ((s, d) => Sketches.bottomkHashesAux(s, d)),
     "sample_hashes" -> ((s, d) => Sampling.sampleHashesAux(s, d)),
-    "cm_buckets" -> ((s, d) => Sketches.cmBucketsAux(s, d))
+    "cm_buckets" -> ((s, d) => Sketches.cmBucketsAux(s, d)),
+    "pq_codebooks" -> ((s, d) => Quantization.codebookDf(s, d))
   )
 }

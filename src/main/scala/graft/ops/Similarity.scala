@@ -24,11 +24,11 @@ import graft.core.XxHash64
   */
 object Similarity {
 
-  private def emb(spark: SparkSession, dir: String): DataFrame =
+  private[ops] def emb(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
   /** Typed corpus reader — primitive arrays for the kernels. */
-  private def embTyped(spark: SparkSession, dir: String): Dataset[(Long, Array[Float])] = {
+  private[ops] def embTyped(spark: SparkSession, dir: String): Dataset[(Long, Array[Float])] = {
     import spark.implicits._
     emb(spark, dir).select($"vec_id", $"embedding").as[(Long, Array[Float])]
   }
@@ -500,7 +500,7 @@ object Similarity {
     * the manifest flipped atomically last (no temp dirs, no
     * per-process copies — the r3 session cache made the index
     * JVM-lifetime; this makes it corpus-lifetime). */
-  private def corpusSnapshotKey(dir: String): String = {
+  private[ops] def corpusSnapshotKey(dir: String): String = {
     import scala.jdk.CollectionConverters._
     val p = java.nio.file.Paths.get(s"$dir/embeddings.parquet")
     // close the listing stream (a bare Files.list leaks one fd per

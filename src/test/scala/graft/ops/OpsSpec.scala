@@ -496,6 +496,80 @@ class OpsSpec extends SparkTestBase {
       s"missing=${(exact -- lsh).take(5)} extra=${(lsh -- exact).take(5)}")
   }
 
+  test("PQ codes match an independent argmin over the published codebook") {
+    val cb = Quantization.codebooks(spark, embDir) // [subspace][code][dim] floats
+    val vecs = spark.read.parquet(s"$embDir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val m = Quantization.M; val sd = Quantization.SubDim
+    val expect = (for {
+      (id, v) <- vecs; s <- 0 until m
+    } yield {
+      // independent scoring: FULL squared L2 in double (not the
+      // kernel's cc-2xc key) — argmin must agree because ||x||^2 is
+      // constant per (vector, subspace)... up to float rounding, which
+      // the tie rule (lowest code) makes observable only on EXACT dk
+      // ties; recompute with the kernel's own key to compare exactly
+      val scored = cb(s).zipWithIndex.map { case (c, code) =>
+        var cc = 0.0; var xc = 0.0; var i = 0
+        while (i < sd) {
+          cc += c(i).toDouble * c(i).toDouble
+          xc += v(s * sd + i).toDouble * c(i).toDouble
+          i += 1
+        }
+        (cc - 2.0 * xc, code)
+      }
+      ((id, s), scored.min._2)
+    }).toMap
+    val got = Quantization.pqCodes(spark, embDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(got.size == vecs.length * m, "one code per (vector, subspace)")
+    assert(got.values.forall(c => c >= 0 && c < Quantization.K))
+    assert(got == expect,
+      s"diff=${(expect.toSet diff got.toSet).take(3)} / ${(got.toSet diff expect.toSet).take(3)}")
+  }
+
+  test("PQ Lloyd training reduces quantization distortion vs the raw seed codebook") {
+    def distortion(cb: Array[Array[Array[Float]]]): Double = {
+      val vecs = spark.read.parquet(s"$embDir/embeddings.parquet")
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      val sd = Quantization.SubDim
+      vecs.map { v =>
+        (0 until Quantization.M).map { s =>
+          cb(s).map { c =>
+            var d = 0.0; var i = 0
+            while (i < sd) { val e = v(s * sd + i).toDouble - c(i); d += e * e; i += 1 }
+            d
+          }.min
+        }.sum
+      }.sum
+    }
+    val seed = distortion(Quantization.train(spark, embDir, iters = 0))
+    val trained = distortion(Quantization.train(spark, embDir, iters = Quantization.LloydIters))
+    assert(trained < seed * 0.9,
+      s"Lloyd did not improve quantization error: seed=$seed trained=$trained")
+  }
+
+  test("PQ ADC top-k recalls the planted clusters and keeps rank invariants") {
+    val res = Quantization.pqAnn(spark, embDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // probes: vec_id % 31 == 0 over 0..99 -> 0, 31, 62, 93
+    val byProbe = res.groupBy(_._1)
+    assert(byProbe.keySet == Set(0L, 31L, 62L, 93L))
+    byProbe.foreach { case (a, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to Quantization.TopK), s"probe $a ranks")
+      assert(!rows.exists(_._2 == a), s"probe $a returned itself")
+    }
+    // clustered probes (0 in cluster 0, 31 in cluster 3, 62 in cluster
+    // 7) must retrieve mostly their 7 same-cluster siblings within the
+    // top 10 of a 99-candidate scan
+    Seq(0L -> 0, 31L -> 3, 62L -> 7).foreach { case (probe, c) =>
+      val siblings = (c * 8 until c * 8 + 8).map(_.toLong).toSet - probe
+      val hit = byProbe(probe).map(_._2).count(siblings)
+      assert(hit >= 5, s"probe $probe recalled only $hit/7 cluster-$c siblings")
+    }
+  }
+
   // --------------------------------------------------------- multimodal
 
   test("image features: real decode round-trips dims, phash, luminance") {

@@ -288,6 +288,21 @@ class PlanSpec extends SparkTestBase {
     assert(exchanges <= 6, s"composition shuffle count crept up ($exchanges):\n" + p)
   }
 
+  test("PQ encoding is a zero-shuffle corpus map; ADC scan is broadcast-only + one window") {
+    val pc = plan(Quantization.pqCodes(spark, dir))
+    assert(!pc.contains("Exchange"), "PQ encoding must not shuffle the corpus:\n" + pc)
+    val pa = plan(Quantization.pqAnn(spark, dir))
+    // the probe list and the four LUTs broadcast; the code-table scan
+    // is the ONLY corpus-wide pass and the per-probe top-k window the
+    // only exchange (AQE may stage the tiny broadcast builds but the
+    // big side must never hash-shuffle into a join)
+    assert(!pa.contains("CartesianProduct"), "ADC scan fell back to a cartesian:\n" + pa)
+    val bcast = "BroadcastNestedLoopJoin".r.findAllIn(pa).size
+    assert(bcast >= 1, "probe scan must be a broadcast nested loop:\n" + pa)
+    val shuffles = "\\(\\d+\\) Exchange".r.findAllIn(pa).size
+    assert(shuffles <= 1, s"expected <=1 shuffle (top-k window), got $shuffles:\n" + pa)
+  }
+
   test("cosine near-dup plan has no cartesian product") {
     val p = plan(Similarity.cosineNearDup(spark, dir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
