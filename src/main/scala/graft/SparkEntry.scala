@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.SynthWeb
 import graft.crawl.{CrawlConfig, Crawler}
-import graft.ops.{Audio, Curation, Dedup, Multimodal, Quantization, Relational, Sampling, Similarity, Sketches, TextOps}
+import graft.ops.{Audio, Curation, Dedup, Multimodal, Quantization, Ranking, Relational, Sampling, Similarity, Sketches, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -81,6 +81,7 @@ object SparkEntry {
     "q_ivf_ann" -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
     "q_ivf_partitioned" -> ((s: SparkSession, d: String) => Similarity.ivfPartitionedTopK(s, d)),
     "q_pq_codes" -> ((s: SparkSession, d: String) => Quantization.pqCodes(s, d)),
+    "q_textrank" -> ((s: SparkSession, d: String) => Ranking.textRank(s, d)),
     "q_pq_ann" -> ((s: SparkSession, d: String) => Quantization.pqAnn(s, d)),
     // --- multimodal (binary columns; real image decode, see Multimodal) ---
     "q_multimodal_features" -> ((s: SparkSession, _: String) =>
@@ -118,7 +119,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracle ++ TextOps.oracle ++ Dedup.oracle ++ Curation.oracle ++ Similarity.oracle ++
       Multimodal.oracle ++ Audio.oracle ++ Sketches.oracle ++ Sampling.oracle ++
-      Quantization.oracle ++ graft.streaming.EventStream.oracle
+      Quantization.oracle ++ Ranking.oracle ++ graft.streaming.EventStream.oracle
 
   /** Deterministic intermediate dumps for the `{AUX}` oracles: name ->
     * builder of the signature/band-key DataFrame the oracle SQL

@@ -570,6 +570,41 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("textrank equals a literal integer PageRank replay; hub dominates on a star") {
+    val spark0 = spark
+    import spark0.implicits._
+    // star: hub adjacent to a,b,c,d (each twice via mirroring); plus a
+    // disconnected 2-chain and a one-word doc (never enters the graph)
+    val corpus = Seq(
+      (0L, "hub a hub b hub c hub d"),
+      (1L, "x y"),
+      (2L, "alone"),
+      (3L, "p p p")) // only self-pairs -> no edges
+      .toDF("doc_id", "text")
+    // literal replay of the operator's integer semantics: the raw
+    // adjacency of doc 0 is (hub,a),(a,hub),(hub,b),(b,hub),(hub,c),
+    // (c,hub),(hub,d) — mirroring then doubles every edge
+    val adjacent = Seq("hub" -> "a", "a" -> "hub", "hub" -> "b", "b" -> "hub",
+      "hub" -> "c", "c" -> "hub", "hub" -> "d", "x" -> "y")
+    val mirrored = adjacent ++ adjacent.map(_.swap)
+    val w = mirrored.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val outw = w.toSeq.groupBy(_._1._1).map { case (s, es) => s -> es.map(_._2).sum }
+    val nodes = w.keys.map(_._1).toSet
+    var r = nodes.map(_ -> Ranking.Scale).toMap
+    (1 to Ranking.Iters).foreach { _ =>
+      val c = w.toSeq.map { case ((s, d), wt) => d -> (r(s) * wt) / outw(s) }
+        .groupBy(_._1).map { case (d, cs) => d -> cs.map(_._2).sum }
+      r = nodes.map(n => n -> (Ranking.Teleport + (85L * c.getOrElse(n, 0L)) / 100L)).toMap
+    }
+    val got = Ranking.textRankOf(corpus).collect()
+      .map(row => row.getString(0) -> row.getLong(1)).toMap
+    assert(got == r, s"got $got want $r")
+    // the hub receives mass from all four leaves every round
+    assert(Seq("a", "b", "c", "d", "x", "y").forall(l => got("hub") > got(l)), got.toString)
+    // isolated tokens never rank
+    assert(!got.contains("alone") && !got.contains("p"))
+  }
+
   // --------------------------------------------------------- multimodal
 
   test("image features: real decode round-trips dims, phash, luminance") {

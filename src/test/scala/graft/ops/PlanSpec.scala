@@ -303,6 +303,19 @@ class PlanSpec extends SparkTestBase {
     assert(shuffles <= 1, s"expected <=1 shuffle (top-k window), got $shuffles:\n" + pa)
   }
 
+  test("textrank graph build: one tokenize pass (no self-union), bounded shuffles") {
+    val p = plan(Ranking.cooccurrenceEdges(
+      spark.read.parquet(s"$dir/documents.parquet")))
+    assert(!p.contains("Union"),
+      "edge mirroring must be one explode, not a self-union re-running the tokenize:\n" + p)
+    val shuffles = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    // (src,dst) count + src outw regroup (+ the outw join may reuse);
+    // anything more means the corpus is being re-scanned per stage
+    assert(shuffles <= 3, s"expected <=3 shuffles, got $shuffles:\n" + p)
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      "edge weighting lost its map-side combine:\n" + p)
+  }
+
   test("cosine near-dup plan has no cartesian product") {
     val p = plan(Similarity.cosineNearDup(spark, dir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
