@@ -81,10 +81,51 @@ object Ranking {
   def textRank(spark: SparkSession, dir: String): DataFrame =
     textRankOf(docs(spark, dir))
 
-  private[ops] def textRankOf(corpus: DataFrame): DataFrame = {
+  /** Adaptive path split, same pattern (and default bound) as
+    * clusterLabels: a vocabulary graph under ~4M edges is
+    * driver-bounded metadata and the fixed rounds are pure integer
+    * loops (ms), where each distributed round pays fresh job
+    * scheduling (~0.35s/round measured — 3.0s of the 3.1s sweep cost
+    * was scheduling a 31-node graph 16 times). Both paths compute the
+    * identical integer fixpoint, asserted in OpsSpec. */
+  val RankDriverMaxEdges = 4000000L
+
+  private[ops] def textRankOf(corpus: DataFrame,
+      driverMaxEdges: Long = RankDriverMaxEdges): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val edges = cooccurrenceEdges(corpus).persist()
+    val eCount = edges.count()
+    val out =
+      if (eCount <= driverMaxEdges) driverRanks(spark, edges)
+      else distributedRanks(edges)
+    edges.unpersist()
+    out
+  }
+
+  /** Small-graph path: the same integer rounds as literal driver
+    * loops over the collected edge list. */
+  private def driverRanks(spark: SparkSession, edges: DataFrame): DataFrame = {
+    import spark.implicits._
+    val es = edges.select("src", "dst", "w", "outw")
+      .as[(String, String, Long, Long)].collect()
+    val nodes = es.map(_._1).distinct
+    var r = nodes.map(_ -> Scale).toMap
+    (1 to Iters).foreach { _ =>
+      val c = scala.collection.mutable.HashMap.empty[String, Long]
+      es.foreach { case (s, d, w, outw) =>
+        c(d) = c.getOrElse(d, 0L) + (r(s) * w) / outw
+      }
+      r = nodes.map(n => n -> (Teleport + (85L * c.getOrElse(n, 0L)) / 100L)).toMap
+    }
+    nodes.sorted.map(n => (n, r(n))).toSeq.toDF("word", "rank")
+  }
+
+  /** Scale path: one src-keyed join + one dst-keyed partial-agg
+    * shuffle per round, each round's result lineage-truncated. */
+  private def distributedRanks(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
     val nodes = edges.select($"src".as("node")).distinct()
     var ranks = nodes.select($"node", lit(Scale).as("r")).localCheckpoint()
     (1 to Iters).foreach { _ =>
@@ -96,7 +137,6 @@ object Ranking {
           (lit(Teleport) + expr("(85 * coalesce(c, 0L)) div 100")).as("r"))
         .localCheckpoint() // materializes this round; lineage stays flat
     }
-    edges.unpersist()
     ranks.select($"node".as("word"), $"r".as("rank"))
   }
 

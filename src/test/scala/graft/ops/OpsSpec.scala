@@ -599,6 +599,11 @@ class OpsSpec extends SparkTestBase {
     val got = Ranking.textRankOf(corpus).collect()
       .map(row => row.getString(0) -> row.getLong(1)).toMap
     assert(got == r, s"got $got want $r")
+    // driverMaxEdges = -1 forces the distributed per-round loop; both
+    // paths must produce the identical integer fixpoint
+    val gotDist = Ranking.textRankOf(corpus, driverMaxEdges = -1L).collect()
+      .map(row => row.getString(0) -> row.getLong(1)).toMap
+    assert(gotDist == r, s"distributed path diverged: $gotDist want $r")
     // the hub receives mass from all four leaves every round
     assert(Seq("a", "b", "c", "d", "x", "y").forall(l => got("hub") > got(l)), got.toString)
     // isolated tokens never rank
