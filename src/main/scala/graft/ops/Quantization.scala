@@ -100,7 +100,9 @@ object Quantization {
         (0 until M).iterator.map { s =>
           var best = 0; var bestD = Double.PositiveInfinity
           var code = 0
-          while (code < K) {
+          // bound by the realized codebook (a corpus with fewer than K
+          // vectors seeds fewer centroids), not the nominal K
+          while (code < cs(s).length) {
             val c = cs(s)(code)
             var d = 0.0; var i = 0
             while (i < SubDim) {
@@ -124,7 +126,7 @@ object Quantization {
       .collect()
       .toMap
     Array.tabulate(M) { s =>
-      Array.tabulate(K) { code =>
+      Array.tabulate(cbs(s).length) { code =>
         sums.get((s, code)) match {
           case Some((sum, n)) => sum.map(_.toDouble / (n * Fixed))
           case None           => cbs(s)(code)
@@ -170,7 +172,7 @@ object Quantization {
           val codes = Array.tabulate(M) { s =>
             var best = 0; var bestK = Double.PositiveInfinity
             var code = 0
-            while (code < K) {
+            while (code < cs(s).length) {
               val c = cs(s)(code)
               var xc = 0.0; var i = 0
               while (i < SubDim) { xc += v(s * SubDim + i).toDouble * c(i).toDouble; i += 1 }

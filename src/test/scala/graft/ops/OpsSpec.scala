@@ -550,6 +550,24 @@ class OpsSpec extends SparkTestBase {
       s"Lloyd did not improve quantization error: seed=$seed trained=$trained")
   }
 
+  test("PQ degrades to a smaller codebook on a corpus with fewer than K vectors") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmpDir("pqtiny")
+    def vec(seed: Long): Seq[Float] =
+      Array.tabulate(64)(d => (((graft.core.XxHash64.mix(seed, d.toLong) % 1000L) / 500.0) - 1.0).toFloat).toSeq
+    (0L until 5L).map(i => (i, vec(i * 17L), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val codes = Quantization.pqCodes(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(codes.length == 5 * Quantization.M)
+    assert(codes.forall(_._3 < 5), "codes must stay inside the 5-seed codebook")
+    // probe 0 ranks the 4 others (vec_id % 31 == 0 -> only vec 0)
+    val ann = Quantization.pqAnn(spark, dir).collect()
+    assert(ann.map(_.getLong(0)).toSet == Set(0L) && ann.length == 4)
+  }
+
   test("PQ ADC top-k recalls the planted clusters and keeps rank invariants") {
     val res = Quantization.pqAnn(spark, embDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
