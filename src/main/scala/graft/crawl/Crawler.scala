@@ -413,6 +413,17 @@ class Crawler(spark: SparkSession, cfg: CrawlConfig) extends Serializable {
     // table snapshots landed) and the cache releases must wait for the
     // escaped seen+bloom commits of this wave too
     pendingTail = for { _ <- prevTail; _ <- readyThisWave } yield {
+      // cands releases FIRST in the tail — readyThisWave means its only
+      // escaped readers (seen append + bloom merge) are done, and
+      // sequencing the release BEFORE the metrics job launches keeps the
+      // unpersist from racing an in-flight read (the r5 "Block rdd_N
+      // does not exist" fix). Holding it past the metrics commit instead
+      // kept wave k's candidate cache alive into wave k+1's fetch and
+      // heap-OOM'd the 10k-host scale probe at wave 4 (metrics reads
+      // admitted/parsed/novel/fetchedImages, never cands — an evicted
+      // novel block recomputing THROUGH the now-uncached cands is a
+      // clean recompute, not a race).
+      cands.unpersist(false)
       timed(wave, "metrics_commit")(metricsT.commit(wave + 1, metrics.repartition(1)))
       runLog.markComplete(wave + 1, Map(
         "frontier" -> nextCount,
@@ -426,7 +437,6 @@ class Crawler(spark: SparkSession, cfg: CrawlConfig) extends Serializable {
         "bloom_items" -> (if (cfg.bloom) bloomState.itemsAdded else 0L)))
       admitted.unpersist(false); parsed.unpersist(false)
       novel.unpersist(false); fetchedImages.unpersist(false)
-      cands.unpersist(false)
     }
     nextCount
   }
