@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.SynthWeb
 import graft.crawl.{CrawlConfig, Crawler}
-import graft.ops.{Audio, Curation, Dedup, Multimodal, Quantization, Ranking, Relational, Sampling, Similarity, Sketches, TextOps}
+import graft.ops.{Audio, Curation, Dedup, Multimodal, Quantization, Ranking, Relational, Sampling, Search, Similarity, Sketches, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -83,6 +83,9 @@ object SparkEntry {
     "q_pq_codes" -> ((s: SparkSession, d: String) => Quantization.pqCodes(s, d)),
     "q_textrank" -> ((s: SparkSession, d: String) => Ranking.textRank(s, d)),
     "q_pq_ann" -> ((s: SparkSession, d: String) => Quantization.pqAnn(s, d)),
+    // --- full-text retrieval (materialized postings IndexTable) ---
+    "q_keyword_search" -> ((s: SparkSession, d: String) => Search.keywordSearch(s, d)),
+    "q_tfidf_terms" -> ((s: SparkSession, d: String) => Search.tfidfTerms(s, d)),
     // --- multimodal (binary columns; real image decode, see Multimodal) ---
     "q_multimodal_features" -> ((s: SparkSession, _: String) =>
       Multimodal.imageFeatures(Multimodal.syntheticImages(s, 64))
@@ -91,6 +94,8 @@ object SparkEntry {
       Multimodal.phashNearDup(Multimodal.syntheticImages(s, 64))),
     "q_phash_clusters" -> ((s: SparkSession, _: String) =>
       Multimodal.phashClusters(Multimodal.syntheticImages(s, 64))),
+    "q_image_dedup" -> ((s: SparkSession, _: String) => Multimodal.imageDedup(s)),
+    "q_image_quality" -> ((s: SparkSession, _: String) => Multimodal.imageQuality(s)),
     "q_audio_features" -> ((s: SparkSession, _: String) =>
       Audio.audioFeatures(Audio.syntheticAudio(s, 64))),
     "q_video_frames" -> ((s: SparkSession, _: String) =>
@@ -119,7 +124,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracle ++ TextOps.oracle ++ Dedup.oracle ++ Curation.oracle ++ Similarity.oracle ++
       Multimodal.oracle ++ Audio.oracle ++ Sketches.oracle ++ Sampling.oracle ++
-      Quantization.oracle ++ Ranking.oracle ++ graft.streaming.EventStream.oracle
+      Quantization.oracle ++ Ranking.oracle ++ Search.oracle ++
+      graft.streaming.EventStream.oracle
 
   /** Deterministic intermediate dumps for the `{AUX}` oracles: name ->
     * builder of the signature/band-key DataFrame the oracle SQL
@@ -136,6 +142,8 @@ object SparkEntry {
     "ivf_probes" -> ((s, d) => Similarity.ivfProbesAux(s, d)),
     "ivf_batch_probes" -> ((s, d) => Similarity.ivfBatchProbesAux(s, d)),
     "phash_sigs" -> ((s, _) => Multimodal.syntheticImages(s, 64).select("image_id", "phash")),
+    "image_hashes" -> ((s, _) => Multimodal.imageHashes(s)),
+    "image_stats" -> ((s, _) => Multimodal.imageStatsAux(s)),
     "audio_pcm" -> ((s, _) => Audio.pcmAux(s)),
     "distinct_hashes" -> ((s, d) => Sketches.distinctHashesAux(s, d)),
     "bottomk_hashes" -> ((s, d) => Sketches.bottomkHashesAux(s, d)),

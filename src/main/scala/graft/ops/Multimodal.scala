@@ -154,6 +154,18 @@ object Multimodal {
       .select($"doc_id".as("image_id"), $"cluster", $"keep")
   }
 
+  /** Image-quality gate thresholds — interpolated into the oracle SQL
+    * (the mix-sources one-value pattern). All rules are integer /
+    * multiplication-only, so the replay is bit-exact. Declared ABOVE
+    * [[oracle]]: vals initialize in declaration order, and an oracle
+    * interpolating a not-yet-initialized threshold silently embeds 0
+    * (the compiler warns "reference to uninitialized value" — keep
+    * that warning impossible, not just ignored). */
+  val MinDim = 24
+  val MaxAspect = 3
+  val LumLoKilo = 30000L  // mean luminance >= 30 (per-pixel kilo units)
+  val LumHiKilo = 225000L // mean luminance <= 225
+
   /** {AUX} oracle for [[phashNearDup]]: the perceptual hash itself
     * needs a real image decode (not SQL-expressible), but the banding +
     * popcount verify after it is — Verify dumps the deterministic
@@ -209,8 +221,188 @@ object Multimodal {
         |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node)
         |SELECT node AS image_id, min(label) AS cluster,
         |  min(label) = node AS keep
-        |FROM reach GROUP BY 1""".stripMargin)
+        |FROM reach GROUP BY 1""".stripMargin),
+    // the md5 content hash needs the real bytes (not SQL-expressible);
+    // the dedup decision after it is — the {AUX} dump IS the query's
+    // own input function (imageHashes), so the contract cannot drift
+    "q_image_dedup" ->
+      """WITH h AS (SELECT * FROM read_parquet('{AUX}/image_hashes/*.parquet')),
+        |g AS (SELECT content_hash, CAST(count(*) AS BIGINT) AS n_copies,
+        |        min(image_id) AS keeper
+        |      FROM h GROUP BY 1)
+        |SELECT h.image_id, h.content_hash, g.n_copies,
+        |  h.image_id = g.keeper AS keep
+        |FROM h JOIN g USING (content_hash)""".stripMargin,
+    // decode-true stats come from the {AUX} dump (shared function);
+    // the gate itself is integer/multiplication-only and replayed here
+    "q_image_quality" ->
+      s"""WITH s AS (SELECT * FROM read_parquet('{AUX}/image_stats/*.parquet'))
+         |SELECT image_id, w, h,
+         |  w >= $MinDim AND h >= $MinDim AS pass_dims,
+         |  w <= $MaxAspect * h AND h <= $MaxAspect * w AS pass_aspect,
+         |  lum_kilo >= $LumLoKilo * w * h AND
+         |    lum_kilo <= $LumHiKilo * w * h AS pass_lum,
+         |  (w >= $MinDim AND h >= $MinDim) AND
+         |    (w <= $MaxAspect * h AND h <= $MaxAspect * w) AND
+         |    (lum_kilo >= $LumLoKilo * w * h AND
+         |     lum_kilo <= $LumHiKilo * w * h) AS keep
+         |FROM s""".stripMargin
   )
+
+  // ------------------------------------------------- exact image dedup
+
+  /** Corpus with PLANTED byte-identical duplicates: image i draws its
+    * CONTENT from index i % distinct (same pixels → the deterministic
+    * encoders emit the same bytes) while keeping a distinct image_id —
+    * the crawl-dedup case of one image served under many URLs. The
+    * natural corpora have no byte dups, so running exact dedup on them
+    * raw is the vacuous-oracle trap (r4 verdict #3). */
+  def dupImages(spark: SparkSession, n: Int = 64, distinct: Int = 48): DataFrame = {
+    import spark.implicits._
+    spark.range(n.toLong)
+      .repartition(math.min(n, 32))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { i =>
+          val ci = i % distinct
+          val jpeg = ci % 2 == 0
+          val cid = SynthWeb.imageUrl((ci % 7).toInt, ci.toInt, jpeg)
+          val (w, h) = SynthWeb.imageDims(cid)
+          val img = Imaging.synthPixels(cid, w, h)
+          val bytes = if (jpeg) Imaging.encodeJpeg(img) else Imaging.encodePng(img)
+          (f"img$i%03d:$cid", bytes)
+        }
+      }
+      .toDF("image_id", "bytes")
+  }
+
+  /** Content hashes of the dedup corpus — md5 over the raw bytes, one
+    * codegen'd expression. This is BOTH the query's input and the
+    * {AUX} dump (same function), so the oracle contract can never
+    * drift from the operator. */
+  def imageHashes(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    dupImages(spark, 64).select($"image_id", md5($"bytes").as("content_hash"))
+  }
+
+  /** Exact image dedup by content hash: one shuffle on content_hash;
+    * the window runs per hash group (bounded by a key's duplicate
+    * multiplicity, never corpus-sized). keep = lexicographic-min
+    * image_id per group — ASCII ids, so Spark's code-unit order
+    * coincides with DuckDB's binary collation. */
+  def imageDedupOf(hashes: DataFrame): DataFrame = {
+    val spark = hashes.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"content_hash")
+    hashes.select($"image_id", $"content_hash",
+      count(lit(1)).over(w).as("n_copies"),
+      ($"image_id" === min($"image_id").over(w)).as("keep"))
+  }
+
+  def imageDedup(spark: SparkSession): DataFrame =
+    imageDedupOf(imageHashes(spark))
+
+  // ------------------------------------------- image curation (quality)
+
+  /** Corpus for the quality gate, with every rule PLANTED to bind:
+    * every 13th image is tiny (12×12 — fails the dimension rule),
+    * every 11th is a 78×24 banner (78 > 3·24: fails the aspect rule
+    * while PASSING the dimension rule — a 60×12 banner would fail
+    * both and never exercise aspect alone), every 9th
+    * is darkened 8× (fails the luminance rule); the rest keep the
+    * natural 16..64 dims of the fixture generator. */
+  def curationImages(spark: SparkSession, n: Int = 64): DataFrame = {
+    import spark.implicits._
+    spark.range(n.toLong)
+      .repartition(math.min(n, 32))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { i =>
+          val jpeg = i % 2 == 0
+          val cid = SynthWeb.imageUrl((i % 7).toInt, i.toInt, jpeg)
+          val (w, h) =
+            if (i % 13 == 0) (12, 12)
+            else if (i % 11 == 0) (78, 24)
+            else SynthWeb.imageDims(cid)
+          val img = Imaging.synthPixels(cid, w, h)
+          if (i % 9 == 0) { // darken 8x: drops mean luminance below the gate
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                img.setRGB(x, y,
+                  (((p >> 16) & 0xff) >> 3 << 16) | (((p >> 8) & 0xff) >> 3 << 8) |
+                    ((p & 0xff) >> 3))
+                x += 1
+              }
+              y += 1
+            }
+          }
+          val bytes = if (jpeg) Imaging.encodeJpeg(img) else Imaging.encodePng(img)
+          (f"curimg$i%03d", bytes)
+        }
+      }
+      .toDF("image_id", "bytes")
+  }
+
+  /** Decode-true integer stats per image: dimensions from the DECODED
+    * frame (never container metadata), lum_kilo = Σ over pixels of
+    * (299·r + 587·g + 114·b) — the integer luminance numerator, exact
+    * in a long. One decoder context per partition, zero shuffles.
+    * This is both the quality query's input and its {AUX} dump. */
+  def imageStats(images: DataFrame): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.select($"image_id", $"bytes").as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          try {
+            val img = Imaging.decode(bytes)
+            val w = img.getWidth; val h = img.getHeight
+            var lum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                lum += ((p >> 16) & 0xff) * 299L + ((p >> 8) & 0xff) * 587L +
+                  (p & 0xff) * 114L
+                x += 1
+              }
+              y += 1
+            }
+            Some((id, w, h, bytes.length.toLong, lum))
+          } catch { case _: Exception => None }
+        }
+      }
+      .toDF("image_id", "w", "h", "n_bytes", "lum_kilo")
+  }
+
+  def imageStatsAux(spark: SparkSession): DataFrame =
+    imageStats(curationImages(spark, 64))
+
+  /** The image curation gate (the visual sibling of TextOps.quality):
+    * minimum dimensions, bounded aspect ratio, luminance inside
+    * [LumLo, LumHi] — all as multiplication-only integer predicates
+    * over the decode-true stats (lum_kilo ≥ 30000·w·h ⇔ mean ≥ 30,
+    * no division anywhere). Pure per-row expressions after the stats
+    * map: zero shuffles, the linear-scan shape a 100 TB image
+    * curation pass needs. */
+  def imageQualityOf(stats: DataFrame): DataFrame = {
+    val spark = stats.sparkSession
+    import spark.implicits._
+    val npix = $"w".cast("long") * $"h".cast("long")
+    stats.select($"image_id", $"w", $"h",
+      ($"w" >= MinDim && $"h" >= MinDim).as("pass_dims"),
+      ($"w" <= $"h" * MaxAspect && $"h" <= $"w" * MaxAspect).as("pass_aspect"),
+      ($"lum_kilo" >= lit(LumLoKilo) * npix &&
+        $"lum_kilo" <= lit(LumHiKilo) * npix).as("pass_lum"))
+      .withColumn("keep", $"pass_dims" && $"pass_aspect" && $"pass_lum")
+  }
+
+  def imageQuality(spark: SparkSession): DataFrame =
+    imageQualityOf(imageStatsAux(spark))
 
   /** Deterministic in-plan "video" corpus: n animated GIFs (the one
     * multi-frame container the JDK codes natively), each with
@@ -260,3 +452,4 @@ object Multimodal {
       .toDF("video_id", "frame_idx", "w", "h", "frame_phash")
   }
 }
+

@@ -500,9 +500,14 @@ object Similarity {
     * the manifest flipped atomically last (no temp dirs, no
     * per-process copies — the r3 session cache made the index
     * JVM-lifetime; this makes it corpus-lifetime). */
-  private[ops] def corpusSnapshotKey(dir: String): String = {
+  private[ops] def corpusSnapshotKey(dir: String): String =
+    corpusSnapshotKey(dir, "embeddings.parquet")
+
+  /** File-generic variant — Search keys its postings index on the
+    * documents table with the same snapshot discipline. */
+  private[ops] def corpusSnapshotKey(dir: String, fileName: String): String = {
     import scala.jdk.CollectionConverters._
-    val p = java.nio.file.Paths.get(s"$dir/embeddings.parquet")
+    val p = java.nio.file.Paths.get(s"$dir/$fileName")
     // close the listing stream (a bare Files.list leaks one fd per
     // call — and this runs on every IVF index lookup)
     val files =
@@ -516,7 +521,7 @@ object Similarity {
     }.mkString(",").hashCode
   }
 
-  private def indexRoot(spark: SparkSession): String =
+  private[ops] def indexRoot(spark: SparkSession): String =
     spark.conf.getOption("spark.graft.indexRoot")
       .getOrElse(sys.props("java.io.tmpdir") + "/graft_index_lake")
 

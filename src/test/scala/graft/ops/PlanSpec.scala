@@ -373,4 +373,37 @@ class PlanSpec extends SparkTestBase {
     // every inserted hash must probe true (blooms have no false negatives)
     assert(probed.count() == 100)
   }
+
+  test("keyword search prunes the postings scan to the query terms' buckets") {
+    val pruned = Search.prunedPostingsScan(spark, dir, Search.QueryTerms)
+    val p = plan(pruned)
+    assert(p.contains("PartitionFilters") && p.contains("bucket"), p)
+    // the bucket IN-filter must drop files, not just annotate the scan
+    // (the IVF probe gate's pattern — numFiles counts selected
+    // partitions only)
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    val filesRead = scan.metrics("numFiles").value
+    val allFiles = pruned.sparkSession.read
+      .parquet(scan.relation.location.rootPaths.head.toString).inputFiles.length
+    assert(filesRead < allFiles, s"pruned=$filesRead all=$allFiles")
+  }
+
+  test("keyword search top-k is a distributed sort-limit, never a full-data window") {
+    val p = plan(Search.keywordSearch(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"),
+      "global top-k must be per-partition heads + driver merge:\n" + p)
+  }
+
+  test("image quality gate is a pure scan->map pipeline (zero shuffles)") {
+    val p = plan(Multimodal.imageQualityOf(
+      Multimodal.imageStats(Multimodal.curationImages(spark, 64))))
+    // one corpus-generation exchange is the fixture's own repartition;
+    // nothing downstream of the stats map may shuffle
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"expected <=1 exchange (fixture repartition only):\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+/** Full-text retrieval: the materialized postings index must be an
+  * ACCELERATOR, not a semantics change — index-served search equals
+  * the straight token-stream formulation row for row, and the index
+  * resolves from the manifest (no rebuild) on every lookup after the
+  * first for the same corpus snapshot. */
+class SearchSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("keyword search via the postings index equals the brute token-stream form") {
+    val idx = Search.keywordSearch(spark, dir).collect().toSet
+    val brute = Search.keywordSearchBrute(spark, dir).collect().toSet
+    assert(idx == brute)
+    assert(idx.size == Search.TopK, s"expected a full top-${Search.TopK}")
+    // non-vacuous: the fixed QueryTerms are real fixture vocabulary,
+    // so the top hit matches more than one posting
+    assert(idx.map(_.getLong(2)).max > 1, "query terms absent from the corpus")
+  }
+
+  test("postings index is built once per corpus snapshot, manifest hit after") {
+    val first = Search.postingsIndexDir(spark, dir)
+    val again = Search.postingsIndexDir(spark, dir)
+    assert(first == again, "second resolve must be a manifest hit, not a rebuild")
+    // layout: one bucket=<v> partition dir per realized term bucket
+    val buckets = new java.io.File(first).listFiles().count(_.getName.startsWith("bucket="))
+    assert(buckets > 1 && buckets <= Search.NBuckets, s"buckets=$buckets")
+  }
+
+  test("tfidf distinctive terms rank a planted source-exclusive word first") {
+    import spark.implicits._
+    val tmp = tmpDir("graft_tfidf")
+    // two sources share 'common'; each has an exclusive word — tf·idf
+    // must rank the exclusive word above the shared one per source
+    Seq(
+      (1L, "alpha", "common common aardvark"),
+      (2L, "alpha", "common aardvark aardvark"),
+      (3L, "beta", "common common zebra"),
+      (4L, "beta", "common zebra zebra"))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val top = Search.tfidfTerms(spark, tmp, k = 1).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(top == Map("alpha" -> "aardvark", "beta" -> "zebra"), top.toString)
+    // and the score arithmetic replays by hand: tf=3 in-source,
+    // df=2 docs corpus-wide -> (3 * scale) div 2
+    val row = Search.tfidfTerms(spark, tmp, k = 1)
+      .filter($"source" === "alpha").collect().head
+    assert(row.getLong(2) == 3L && row.getLong(3) == 2L)
+    assert(row.getLong(4) == 3L * Search.TfidfScale / 2L)
+  }
+}
