@@ -310,6 +310,24 @@ object IndexTable {
     * collided when two instances raced the same key — caught by
     * IndexTableSpec's concurrency test). */
   private[lake] val stageSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Align an index build with its write layout before `rebuild`:
+    * hash-repartition on (partition column, a salt bounded to `slots`)
+    * so every write task emits rows for exactly ONE (partition, salt)
+    * cell — total file count ≤ partitionValues × slots regardless of
+    * upstream parallelism. A raw `partitionBy` write emits up to
+    * upstreamTasks × partitionValues files (millions at 1000-executor
+    * scale: every task holds every partition value); the salt keeps
+    * writers parallel WITHIN a hot partition value, unlike a plain
+    * repartition(col) whose one-task-per-value serializes the build.
+    * One build-time shuffle, amortized over every read of the index. */
+  def writeLayout(df: DataFrame, partitionValues: Int, slots: Int,
+                  partCol: org.apache.spark.sql.Column,
+                  saltSrc: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+    df.repartition(partitionValues * slots, partCol,
+      pmod(xxhash64(saltSrc), lit(slots.toLong)))
+  }
 }
 
 /** A manifested table whose data files are ALSO a Spark catalog table,

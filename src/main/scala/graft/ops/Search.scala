@@ -58,6 +58,11 @@ object Search {
       .as[Long].collect().distinct.toSeq
   }
 
+  /** Write-layout salt slots: bounds the postings index to at most
+    * NBuckets × SaltSlots files (see [[graft.lake.IndexTable.writeLayout]])
+    * while keeping SaltSlots parallel writers inside a hot bucket. */
+  val SaltSlots = 4
+
   /** The postings index as a maintained lake table: snapshot-keyed on
     * the documents parquet (rebuild on corpus change, cross-JVM reuse
     * otherwise), manifest flipped atomically last — the exact
@@ -65,13 +70,17 @@ object Search {
     * IVF clusters. */
   private[ops] def postingsIndexDir(spark: SparkSession, dir: String): String =
     synchronized { // serialize same-JVM builders; cross-JVM: see IndexTable
-      val key = Similarity.corpusSnapshotKey(dir, "documents.parquet") + "|nb=" + NBuckets
+      import spark.implicits._
+      val key = Similarity.corpusSnapshotKey(dir, "documents.parquet") +
+        "|nb=" + NBuckets + "|ls=" + SaltSlots
       val h = java.security.MessageDigest.getInstance("MD5")
         .digest(java.nio.file.Paths.get(dir).toAbsolutePath.toString.getBytes("UTF-8"))
         .take(8).map("%02x".format(_)).mkString
       val table = new graft.lake.IndexTable(Similarity.indexRoot(spark), s"post_${h}_$NBuckets")
       table.currentDir(key).getOrElse(
-        table.rebuild(key, Seq("bucket"), postings(spark, dir))).toString
+        table.rebuild(key, Seq("bucket"),
+          graft.lake.IndexTable.writeLayout(postings(spark, dir),
+            NBuckets, SaltSlots, $"bucket", $"term"))).toString
     }
 
   /** Matched postings via the index, scanning ONLY the query terms'

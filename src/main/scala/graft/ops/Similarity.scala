@@ -527,7 +527,9 @@ object Similarity {
 
   private def ivfIndexDir(spark: SparkSession, dir: String, nCentroids: Int): String =
     synchronized { // serialize same-JVM builders; cross-JVM: see IndexTable
-      val key = corpusSnapshotKey(dir) + "|nc=" + nCentroids + "|cv2" // cv2: Lloyd-trained centroids
+      // cv2: Lloyd-trained centroids; ls: salted write layout (file
+      // count ≤ nCentroids × slots, see IndexTable.writeLayout)
+      val key = corpusSnapshotKey(dir) + "|nc=" + nCentroids + "|cv2|ls=" + IvfSaltSlots
       // md5 of the absolute corpus path, same scheme (and rationale) as
       // BucketedLakeTable.tableName: a 32-bit String.hashCode collision
       // between two corpus dirs would share ONE IndexTable — the key
@@ -540,10 +542,21 @@ object Similarity {
       val name = s"ivf_${h}_$nCentroids"
       val table = new graft.lake.IndexTable(indexRoot(spark), name)
       table.currentDir(key).getOrElse {
+        import spark.implicits._
         val cB = spark.sparkContext.broadcast(coarseCentroids(spark, dir, nCentroids))
-        table.rebuild(key, Seq("cluster"), ivfAssigned(spark, dir, cB))
+        table.rebuild(key, Seq("cluster"),
+          graft.lake.IndexTable.writeLayout(ivfAssigned(spark, dir, cB),
+            nCentroids, IvfSaltSlots, $"cluster", $"vec_id"))
       }.toString
     }
+
+  /** Inverted-list write-layout salt slots: bounds the index to
+    * nCentroids × slots files regardless of how many tasks scanned the
+    * corpus during the build (a raw partitionBy write from a
+    * 100k-partition scan would emit 100k × nCentroids files), while a
+    * hot cluster still gets `slots` parallel writers. The price is ONE
+    * build-time shuffle of the corpus, paid once per snapshot. */
+  val IvfSaltSlots = 4
 
   /** IVF with the 100 TB layout MATERIALIZED: the corpus is written as
     * parquet PARTITIONED BY its coarse cluster id — the "inverted

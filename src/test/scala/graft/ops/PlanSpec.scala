@@ -158,6 +158,9 @@ class PlanSpec extends SparkTestBase {
     val allFiles = pruned.sparkSession.read
       .parquet(scan.relation.location.rootPaths.head.toString).inputFiles.length
     assert(filesRead < allFiles, s"pruned=$filesRead all=$allFiles")
+    // salted write layout: total file count bounded by clusters ×
+    // slots, independent of the build scan's parallelism
+    assert(allFiles <= 16 * Similarity.IvfSaltSlots, s"files=$allFiles")
   }
 
   test("sessionize rides ONE user_id shuffle end to end") {

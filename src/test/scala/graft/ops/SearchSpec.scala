@@ -28,6 +28,10 @@ class SearchSpec extends SparkTestBase {
     // layout: one bucket=<v> partition dir per realized term bucket
     val buckets = new java.io.File(first).listFiles().count(_.getName.startsWith("bucket="))
     assert(buckets > 1 && buckets <= Search.NBuckets, s"buckets=$buckets")
+    // salted write layout: file count bounded by buckets × slots, NOT
+    // by upstream task count (the 1000-executor file-explosion guard)
+    val files = spark.read.parquet(first).inputFiles.length
+    assert(files <= Search.NBuckets * Search.SaltSlots, s"files=$files")
   }
 
   test("tfidf distinctive terms rank a planted source-exclusive word first") {
