@@ -56,6 +56,7 @@ object SparkEntry {
     "q_bpe_token_count" -> (TextOps.bpeTokenCount _),
     "q_sequence_packing" -> ((s: SparkSession, d: String) => TextOps.sequencePacking(s, d)),
     "q_pack_windows" -> (TextOps.packWindows _),
+    "q_shard_assign" -> ((s: SparkSession, d: String) => TextOps.shardAssign(s, d)),
     "q_quality" -> (TextOps.qualityScore _),
     "q_lang_id" -> (TextOps.langId _),
     "q_fingerprint" -> (TextOps.fingerprint _),
@@ -148,6 +149,7 @@ object SparkEntry {
     "distinct_hashes" -> ((s, d) => Sketches.distinctHashesAux(s, d)),
     "bottomk_hashes" -> ((s, d) => Sketches.bottomkHashesAux(s, d)),
     "sample_hashes" -> ((s, d) => Sampling.sampleHashesAux(s, d)),
+    "shard_windows" -> ((s, d) => TextOps.shardWindows(s, d)),
     "cm_buckets" -> ((s, d) => Sketches.cmBucketsAux(s, d)),
     "pq_codebooks" -> ((s, d) => Quantization.codebookDf(s, d))
   )

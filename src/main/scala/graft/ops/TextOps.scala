@@ -57,6 +57,12 @@ object TextOps {
     * exact identical integer math in Spark and DuckDB. */
   val SeqLenBits = 11 // 2^11 = 2048
 
+  /** Shard count for [[shardAssign]] — ONE value interpolated into
+    * both the operator and its oracle (declared above `oracle`: vals
+    * initialize in declaration order, and interpolating a later val
+    * silently embeds 0). */
+  val NShards = 8
+
   /** GPT-style sequence packing: all documents of a source are
     * concatenated in doc_id order and split into fixed 2048-token
     * training windows (documents may straddle boundaries — the
@@ -160,6 +166,84 @@ object TextOps {
         greatest($"window_id" * seqLen - $"start_offset", lit(0L)).as("span_start"),
         (least(($"window_id" + 1) * seqLen, $"start_offset" + $"n_tokens") -
           greatest($"window_id" * seqLen, $"start_offset")).as("span_len"))
+  }
+
+  /** Sign-cleared shard hash of a training window (seed 13 — disjoint
+    * from the sampling/HLL/minhash/countmin seed families) — shared by
+    * [[shardAssign]] and the {AUX} dump so the oracle replays exactly
+    * these draws. */
+  private def shardHash(source: Column, windowId: Column): Column =
+    xxhash64(lit(13L), source, windowId).bitwiseAND(lit(Long.MaxValue))
+
+  /** The distinct packed training windows with span/token stats and
+    * the shard hash — BOTH [[shardAssign]]'s input and its {AUX} dump
+    * (one function, so the oracle contract cannot drift). */
+  def shardWindows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    packWindows(spark, dir)
+      .groupBy($"source", $"window_id")
+      .agg(count(lit(1)).as("n_spans"), sum($"span_len").as("win_tokens"))
+      .withColumn("h", shardHash($"source", $"window_id"))
+  }
+
+  def shardAssign(spark: SparkSession, dir: String): DataFrame =
+    shardAssign(spark, dir, spark.sparkContext.defaultParallelism)
+
+  /** Deterministic global shuffle + shard assignment of the packed
+    * training windows — the loader handoff after tokenize→pack: each
+    * window lands in shard `h mod NShards` (h sign-cleared, so `%` ≡
+    * pmod in both engines) with its exact 0-based position in the
+    * shard's (h, source, window_id) order — a reproducible
+    * pseudo-random read order, which is what an epoch-shuffling
+    * pretraining loader consumes (N balanced shard files, each
+    * internally hash-ordered).
+    *
+    * The per-shard position is the [[sequencePacking]] two-phase
+    * distributed prefix scan, NOT a row_number window: a
+    * `Window.partitionBy(shard)` puts a shard's ENTIRE membership in
+    * one task — with NShards tasks total that is the definitional
+    * straggler at 10^9 windows. Range-partitioning on (shard, h, …)
+    * lets one shard span many partitions while keeping the global
+    * per-shard order; the same hard-won keying rules apply (ONE
+    * persisted RDD, `mapPartitionsWithIndex` for both phases — see
+    * sequencePacking's doc for why TaskContext ids and re-executed
+    * range exchanges both corrupt the offsets). */
+  def shardAssign(spark: SparkSession, dir: String, numParts: Int): DataFrame = {
+    import spark.implicits._
+    val wins = shardWindows(spark, dir)
+      .withColumn("shard", $"h" % NShards.toLong)
+      .select($"source", $"window_id", $"n_spans", $"win_tokens", $"h", $"shard")
+      .repartitionByRange(math.max(1, numParts), $"shard", $"h", $"source", $"window_id")
+      .sortWithinPartitions($"shard", $"h", $"source", $"window_id")
+      .as[(String, Long, Long, Long, Long, Long)]
+      .rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // phase 1: per-(partition, shard) row counts — partitions × shards
+    // rows of driver data, never input-sized
+    val partials: Array[(Int, Long, Long)] = wins.mapPartitionsWithIndex { (pid, it) =>
+      val counts = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+      it.foreach { case (_, _, _, _, _, sh) => counts(sh) = counts.getOrElse(sh, 0L) + 1L }
+      counts.iterator.map { case (sh, n) => (pid, sh, n) }
+    }.collect()
+    val offsets: Map[(Int, Long), Long] = partials.groupBy(_._2).flatMap {
+      case (sh, rows) =>
+        var acc = 0L
+        rows.sortBy(_._1).map { case (pid, _, n) =>
+          val o = (pid, sh) -> acc; acc += n; o
+        }
+    }
+    val oB = spark.sparkContext.broadcast(offsets)
+    wins.mapPartitionsWithIndex { (pid, it) =>
+      val off = oB.value
+      var cur = -1L
+      var acc = 0L
+      it.map { case (src, wid, nsp, ntok, _, sh) =>
+        if (sh != cur) { cur = sh; acc = off.getOrElse((pid, sh), 0L) }
+        val pos = acc
+        acc += 1
+        (src, wid, nsp, ntok, sh, pos)
+      }
+    }.toDF("source", "window_id", "n_spans", "win_tokens", "shard", "pos")
   }
 
   /** Quality scoring: integer component counts + a categorical label,
@@ -428,6 +512,18 @@ object TextOps {
         |  least((window_id + 1) * 2048, start_offset + n_tokens)
         |    - greatest(window_id * 2048, start_offset) AS span_len
         |FROM spans""".stripMargin,
+    // the shard hash is not SQL-expressible (xxhash64 seed family) —
+    // the {AUX} dump IS the operator's own input function
+    // (shardWindows), and the shard + position rules replay here
+    // exactly: h is sign-cleared so % == pmod, and the two-phase
+    // distributed prefix scan must equal this windowed formulation
+    "q_shard_assign" ->
+      s"""WITH w AS (SELECT *, h % $NShards AS shard
+         |           FROM read_parquet('{AUX}/shard_windows/*.parquet'))
+         |SELECT source, window_id, n_spans, win_tokens, shard,
+         |  CAST(row_number() OVER
+         |    (PARTITION BY shard ORDER BY h, source, window_id) - 1 AS BIGINT) AS pos
+         |FROM w""".stripMargin,
     "q_repetition" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),

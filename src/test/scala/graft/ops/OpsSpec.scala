@@ -409,6 +409,39 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("shard assign: two-phase positions equal the per-shard window, shards balanced") {
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("shard")
+    // one giant source -> many windows, so every shard spans several
+    // range partitions at the forced parallelism (the packing
+    // regression's lesson: aligned bounds mask offset bugs)
+    val rows = (0L until 400L).map(i =>
+      (i, (0L until 600L).map(_ => "t").mkString(" "), "en", "big", 1L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = TextOps.shardAssign(spark, dir, numParts = 16).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(4), r.getLong(5))).toMap
+    // oracle-in-Spark: the windowed formulation over the SAME dump
+    val w = Window.partitionBy($"shard").orderBy($"h", $"source", $"window_id")
+    val want = TextOps.shardWindows(spark, dir)
+      .withColumn("shard", $"h" % TextOps.NShards.toLong)
+      .withColumn("pos", row_number().over(w).cast("long") - 1L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getAs[Long]("shard"), r.getAs[Long]("pos"))).toMap
+    assert(got == want)
+    // 400*600/2048 ~ 117 windows over 8 shards: all realized, and each
+    // shard's positions are exactly 0..n-1
+    val byShard = got.values.groupBy(_._1)
+    assert(byShard.size == TextOps.NShards, s"shards realized: ${byShard.size}")
+    byShard.foreach { case (sh, ps) =>
+      assert(ps.map(_._2).toSeq.sorted == (0L until ps.size).toSeq, s"shard $sh gapped")
+    }
+  }
+
   test("exact dedup counts identical normalized texts") {
     val spark0 = spark
     import spark0.implicits._

@@ -400,6 +400,24 @@ class PlanSpec extends SparkTestBase {
       "global top-k must be per-partition heads + driver merge:\n" + p)
   }
 
+  test("shard assign: NO per-shard window task; exactly 3 lineage shuffles") {
+    // a Window.partitionBy(shard) would put a shard's whole membership
+    // in ONE task (NShards tasks total) — positions must come from the
+    // two-phase prefix scan. Like sequence packing, the output SQL
+    // plan is a bare scan of the pinned RDD, so shuffles are counted
+    // on the RDD lineage: packing range + window groupBy + shard range.
+    val df = TextOps.shardAssign(spark, dir, 8)
+    val p = plan(df)
+    assert(!p.contains("Window"), "per-shard window straggler:\n" + p)
+    assert(!p.contains("Exchange"),
+      "output side must reuse the pinned RDD partitioning, not re-shuffle:\n" + p)
+    def deps(r: org.apache.spark.rdd.RDD[_]): Seq[org.apache.spark.Dependency[_]] =
+      r.dependencies ++ r.dependencies.flatMap(d => deps(d.rdd))
+    val shuffles = deps(df.queryExecution.toRdd)
+      .collect { case s: org.apache.spark.ShuffleDependency[_, _, _] => s }
+    assert(shuffles.size <= 3, s"expected <=3 lineage shuffles, got ${shuffles.size}")
+  }
+
   test("image quality gate is a pure scan->map pipeline (zero shuffles)") {
     val p = plan(Multimodal.imageQualityOf(
       Multimodal.imageStats(Multimodal.curationImages(spark, 64))))
