@@ -61,6 +61,7 @@ object SparkEntry {
     "q_lang_id" -> (TextOps.langId _),
     "q_fingerprint" -> (TextOps.fingerprint _),
     "q_repetition" -> (TextOps.repetition _),
+    "q_lm_oov" -> (TextOps.lmOov _),
     "q_line_dedup" -> (TextOps.lineDedup _),
     "q_pii_redact" -> (TextOps.piiRedact _),
     // --- dedup ---

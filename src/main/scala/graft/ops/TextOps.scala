@@ -297,20 +297,69 @@ object TextOps {
   def repetition(spark: SparkSession, dir: String): DataFrame =
     repetitionOf(docs(spark, dir))
 
-  private[ops] def repetitionOf(corpus: DataFrame): DataFrame = {
+  /** Word-2-gram stream with multiplicity — the shared kernel of
+    * [[repetitionOf]] and [[lmOovOf]] (one extraction expression, so
+    * their oracles replay the same bigram definition). Docs with fewer
+    * than two tokens emit nothing. */
+  private def docBigrams(corpus: DataFrame): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val bigrams = corpus
+    corpus
       .select($"doc_id", split(trim($"text"), "\\s+").as("w"))
       .filter(size($"w") >= 2)
       .select($"doc_id", explode(
         transform(sequence(lit(1), size($"w") - 1), i =>
           concat_ws(" ", element_at($"w", i), element_at($"w", i + 1)))
       ).as("bigram"))
-    bigrams
+  }
+
+  private[ops] def repetitionOf(corpus: DataFrame): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    docBigrams(corpus)
       .groupBy($"doc_id", $"bigram").agg(count(lit(1)).as("n"))
       .groupBy($"doc_id")
       .agg(max($"n").as("top_bigram_n"), sum($"n").as("n_bigrams"))
+  }
+
+  /** A bigram is IN the reference model iff it appears in at least
+    * this many distinct docs (one value, interpolated into the
+    * oracle — declared above `oracle`). */
+  val MinLmDf = 5
+
+  /** CCNet-style n-gram LM quality score, made oracle-exact: instead
+    * of a float perplexity, each doc's OUT-OF-VOCABULARY bigram mass
+    * against a corpus-trained reference model — the model is the set
+    * of bigrams occurring in ≥ [[MinLmDf]] distinct docs, the score
+    * the exact integer per-mille of the doc's bigrams that fall
+    * outside it (high OOV ≈ high perplexity: gibberish, boilerplate
+    * soup, wrong-language text). The float-perplexity ranking this
+    * proxies is a driver-side epilogue, like the HLL estimate.
+    *
+    * Scale shape: one (doc_id, bigram) count shuffle, a vocab-sized
+    * df aggregation on the COLLAPSED counts (count-distinct for
+    * free — the counts are already per-doc), one equi-join back, one
+    * per-doc agg. No self-joins; every stage f-linear in corpus
+    * bigrams. */
+  def lmOov(spark: SparkSession, dir: String): DataFrame =
+    lmOovOf(docs(spark, dir))
+
+  private[ops] def lmOovOf(corpus: DataFrame): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val counts = docBigrams(corpus)
+      .groupBy($"doc_id", $"bigram").agg(count(lit(1)).as("n"))
+    val model = counts.groupBy($"bigram")
+      .agg(count(lit(1)).as("ddf")) // counts are per-doc: count(*) = distinct docs
+      .filter($"ddf" >= MinLmDf)
+      .select($"bigram", lit(1L).as("in_model"))
+    counts.join(model, Seq("bigram"), "left")
+      .groupBy($"doc_id")
+      .agg(
+        sum($"n").as("n_bigrams"),
+        sum(when($"in_model".isNull, $"n").otherwise(0L)).as("n_oov"))
+      .select($"doc_id", $"n_bigrams", $"n_oov",
+        expr("(n_oov * 1000) div n_bigrams").as("oov_permille"))
   }
 
   /** Document fingerprint: md5 of the normalized text (md5 is identical
@@ -535,6 +584,25 @@ object TextOps {
         |SELECT doc_id, CAST(max(n) AS BIGINT) AS top_bigram_n,
         |  CAST(sum(n) AS BIGINT) AS n_bigrams
         |FROM c GROUP BY 1""".stripMargin,
+    // same bigram kernel as q_repetition; // is DuckDB's integer
+    // division, == Spark `div` on non-negatives
+    "q_lm_oov" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+         |bg AS (
+         |  SELECT doc_id, w[i] || ' ' || w[i+1] AS bigram
+         |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+         |        FROM toks WHERE len(w) >= 2)),
+         |c AS (SELECT doc_id, bigram, count(*) AS n FROM bg GROUP BY 1, 2),
+         |m AS (SELECT bigram FROM (SELECT bigram, count(*) AS ddf FROM c GROUP BY 1)
+         |      WHERE ddf >= $MinLmDf),
+         |f AS (SELECT c.doc_id, c.n, m.bigram IS NOT NULL AS inm
+         |      FROM c LEFT JOIN m USING (bigram))
+         |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(CASE WHEN inm THEN 0 ELSE n END) AS BIGINT) AS n_oov,
+         |  CAST((sum(CASE WHEN inm THEN 0 ELSE n END) * 1000) // sum(n) AS BIGINT)
+         |    AS oov_permille
+         |FROM f GROUP BY 1""".stripMargin,
     "q_quality" -> {
       val nTok = """CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)"""
       val nStop = s"(${occSql(" the ")} + ${occSql(" and ")} + ${occSql(" a ")})"

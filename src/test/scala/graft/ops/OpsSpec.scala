@@ -409,6 +409,23 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("lm oov: planted gibberish scores 1000, in-model docs 0, mixed exact ratio") {
+    val spark0 = spark
+    import spark0.implicits._
+    // 6 docs of in-model text (ddf 7 >= MinLmDf), one all-OOV doc, one
+    // mixed doc, one sub-bigram doc (absent from the output)
+    val rows =
+      (10L to 15L).map(i => (i, "a b a b")) ++
+        Seq((20L, "x q z q"), (21L, "a b a b x q"), (22L, "solo"))
+    val got = TextOps.lmOovOf(rows.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.size == 8, s"sub-bigram doc must be absent: $got")
+    (10L to 15L).foreach(i => assert(got(i) == ((3L, 0L, 0L)), s"doc $i"))
+    assert(got(20L) == ((3L, 3L, 1000L)), "all-OOV doc")
+    // mixed: 5 bigrams, 'b x' and 'x q' (ddf 1 and 2) OOV -> 2000 div 5
+    assert(got(21L) == ((5L, 2L, 400L)), "mixed doc")
+  }
+
   test("shard assign: two-phase positions equal the per-shard window, shards balanced") {
     val spark0 = spark
     import spark0.implicits._

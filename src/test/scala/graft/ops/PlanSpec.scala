@@ -418,6 +418,17 @@ class PlanSpec extends SparkTestBase {
     assert(shuffles.size <= 3, s"expected <=3 lineage shuffles, got ${shuffles.size}")
   }
 
+  test("lm oov: f-linear bigram stages, no self-join, bounded shuffles") {
+    val p = plan(TextOps.lmOov(spark, dir))
+    // counts shuffle, model df shuffle, join-side reshuffle, per-doc
+    // agg — every stage linear in corpus bigrams, never bigram-pairs
+    val ex = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(ex <= 5, s"expected <=5 shuffles, got $ex:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "no map-side combine:\n" + p)
+  }
+
   test("image quality gate is a pure scan->map pipeline (zero shuffles)") {
     val p = plan(Multimodal.imageQualityOf(
       Multimodal.imageStats(Multimodal.curationImages(spark, 64))))
