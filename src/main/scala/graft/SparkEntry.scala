@@ -51,6 +51,7 @@ object SparkEntry {
     "q_hash_sample" -> ((s: SparkSession, d: String) => Sampling.hashSample(s, d)),
     "q_stratified_sample" -> ((s: SparkSession, d: String) => Sampling.stratifiedSample(s, d)),
     "q_mix_sources" -> ((s: SparkSession, d: String) => Sampling.mixSources(s, d)),
+    "q_cluster_sample" -> ((s: SparkSession, d: String) => Sampling.clusterSample(s, d)),
     // --- text analysis ---
     "q_token_count" -> (TextOps.tokenCount _),
     "q_bpe_token_count" -> (TextOps.bpeTokenCount _),
@@ -151,6 +152,7 @@ object SparkEntry {
     "bottomk_hashes" -> ((s, d) => Sketches.bottomkHashesAux(s, d)),
     "sample_hashes" -> ((s, d) => Sampling.sampleHashesAux(s, d)),
     "shard_windows" -> ((s, d) => TextOps.shardWindows(s, d)),
+    "cluster_sample_hashes" -> ((s, d) => Sampling.clusterSampleAux(s, d)),
     "cm_buckets" -> ((s, d) => Sketches.cmBucketsAux(s, d)),
     "pq_codebooks" -> ((s, d) => Quantization.codebookDf(s, d))
   )

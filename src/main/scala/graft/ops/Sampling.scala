@@ -100,7 +100,58 @@ object Sampling {
       .select($"doc_id", $"source")
   }
 
+  /** Per-cluster quota for [[clusterSample]] (one value, shared with
+    * the oracle — declared above it). */
+  val ClusterQuota = 40
+
+  /** Sign-cleared sampling hash of a vector id (seed 17, disjoint from
+    * every other hash family) — shared by [[clusterSample]] and its
+    * {AUX} dump. */
+  private def clusterHash(c: Column): Column =
+    xxhash64(lit(17L), c).bitwiseAND(lit(Long.MaxValue))
+
+  /** (vec_id, cluster, h) for the {AUX} oracle: the IVF coarse
+    * assignment (the SAME kernel + Lloyd centroids as the ANN
+    * operators — one assignment definition corpus-wide) plus the
+    * sampling hash. */
+  def clusterSampleAux(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Similarity.ivfAssignAux(spark, dir)
+      .select($"vec_id", $"cluster", clusterHash($"vec_id").as("h"))
+  }
+
+  /** Cluster-balanced embedding sample: the `quota` lowest-hash
+    * vectors per IVF cluster — semantic-diversity subsampling (equal
+    * representation per embedding-space region regardless of region
+    * density, the SemDeDup-adjacent curation step). Same skew-proof
+    * shape as [[stratifiedSample]]: a salted pre-limit bounds the
+    * final window to saltSlots × quota rows per cluster, bit-identical
+    * to the unlimited window (any row in a cluster's global
+    * top-quota is also in its salt-group's top-quota). */
+  def clusterSample(spark: SparkSession, dir: String, quota: Int = ClusterQuota,
+                    saltSlots: Int = 8): DataFrame = {
+    import spark.implicits._
+    val base = clusterSampleAux(spark, dir)
+    val pw = Window.partitionBy($"cluster", $"psalt").orderBy($"h", $"vec_id")
+    val pre = base
+      .withColumn("psalt", pmod(xxhash64($"vec_id"), lit(math.max(1, saltSlots))))
+      .withColumn("prn", row_number().over(pw))
+      .filter($"prn" <= quota)
+      .drop("psalt", "prn")
+    val w = Window.partitionBy($"cluster").orderBy($"h", $"vec_id")
+    pre
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter($"rnk" <= quota)
+      .select($"vec_id", $"cluster", $"rnk")
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_cluster_sample" ->
+      s"""SELECT vec_id, cluster, rnk FROM (
+         |  SELECT vec_id, cluster,
+         |    row_number() OVER (PARTITION BY cluster ORDER BY h, vec_id) AS rnk
+         |  FROM read_parquet('{AUX}/cluster_sample_hashes/*.parquet'))
+         |WHERE rnk <= $ClusterQuota""".stripMargin,
     "q_mix_sources" -> {
       val cases = MixRates.map { case (s, r) => s"WHEN '$s' THEN $r" }.mkString(" ")
       s"""SELECT doc_id, source

@@ -409,6 +409,35 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("cluster sample: salted pre-limit equals the plain window, quota binds per cluster") {
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    // quota 10: the densest sf0.001 cluster holds 38 vectors, so the
+    // driver default of 40 would never truncate here (at the driver's
+    // sf0.01 it does — ~125/cluster)
+    val quota = 10
+    val got = Sampling.clusterSample(spark, dir, quota = quota).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // oracle-in-Spark: the unlimited window over the same dump
+    val w = Window.partitionBy($"cluster").orderBy($"h", $"vec_id")
+    val want = Sampling.clusterSampleAux(spark, dir)
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter($"rnk" <= quota)
+      .select($"vec_id", $"cluster", $"rnk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == want)
+    // the quota binds (dense clusters truncated) and every realized
+    // cluster is represented — the diversity property
+    val byCluster = got.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byCluster.values.max == quota, "quota never bound")
+    val allClusters = Sampling.clusterSampleAux(spark, dir)
+      .select("cluster").distinct().collect().map(_.getInt(0)).toSet
+    assert(byCluster.keySet == allClusters, "a realized cluster lost representation")
+  }
+
   test("lm oov: planted gibberish scores 1000, in-model docs 0, mixed exact ratio") {
     val spark0 = spark
     import spark0.implicits._

@@ -418,6 +418,16 @@ class PlanSpec extends SparkTestBase {
     assert(shuffles.size <= 3, s"expected <=3 lineage shuffles, got ${shuffles.size}")
   }
 
+  test("cluster sample: kernel assignment + two bounded window shuffles") {
+    val p = plan(Sampling.clusterSample(spark, dir))
+    // assignment is a broadcast-centroid map over the embeddings scan;
+    // the salted pre-limit + final window are the only exchanges, and
+    // the final window sees <= saltSlots x quota rows per cluster
+    val ex = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(ex <= 2, s"expected <=2 shuffles, got $ex:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("lm oov: f-linear bigram stages, no self-join, bounded shuffles") {
     val p = plan(TextOps.lmOov(spark, dir))
     // counts shuffle, model df shuffle, join-side reshuffle, per-doc
