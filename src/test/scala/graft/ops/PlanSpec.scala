@@ -439,6 +439,16 @@ class PlanSpec extends SparkTestBase {
       "no map-side combine:\n" + p)
   }
 
+  test("tfidf: salted pre-limit bounds the rank window; no cartesian") {
+    val p = plan(Search.tfidfTerms(spark, dir))
+    // two pre-limit/final window partitionings must both appear — the
+    // final one sees <= saltSlots x k rows per source, never the
+    // source's whole vocabulary
+    assert("partitionBy.*psalt|psalt".r.findFirstIn(p).isDefined ||
+      p.contains("psalt"), "salted pre-limit missing:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("image quality gate is a pure scan->map pipeline (zero shuffles)") {
     val p = plan(Multimodal.imageQualityOf(
       Multimodal.imageStats(Multimodal.curationImages(spark, 64))))

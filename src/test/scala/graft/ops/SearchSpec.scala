@@ -56,4 +56,15 @@ class SearchSpec extends SparkTestBase {
     assert(row.getLong(2) == 3L && row.getLong(3) == 2L)
     assert(row.getLong(4) == 3L * Search.TfidfScale / 2L)
   }
+
+  test("tfidf salted pre-limit equals the degenerate single-salt window") {
+    // saltSlots=1 is semantically the plain per-source window; the
+    // salted path must be bit-identical (the stratifiedSample
+    // exactness argument: a source-global top-k term is also its
+    // salt-group's top-k)
+    val salted = Search.tfidfTerms(spark, dir, saltSlots = 8).collect().toSet
+    val plain = Search.tfidfTerms(spark, dir, saltSlots = 1).collect().toSet
+    assert(salted == plain)
+    assert(salted.nonEmpty)
+  }
 }
