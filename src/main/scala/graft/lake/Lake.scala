@@ -228,12 +228,26 @@ class IndexTable(rootDir: String, name: String)
     java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
-  /** The committed data directory iff the manifest's key matches. */
+  /** The committed data directory iff the manifest's key matches AND
+    * the index is single-dir — an index grown via [[appendDelta]] must
+    * be read through [[currentDirs]] (returning just the base here
+    * would silently serve a stale subset). */
   def currentDir(key: String): Option[Path] =
+    currentDirs(key).collect { case Seq(only) => only }
+
+  /** ALL committed data directories for `key`: the base build first,
+    * then append deltas in commit order. A reader scans their union. */
+  def currentDirs(key: String): Option[Seq[Path]] =
     snapshot(0)
       .filter(_.properties.get("key").contains(key))
-      .map(_ => dataDir.resolve(s"key=${keyHash(key)}"))
-      .filter(Files.isDirectory(_))
+      .map { m =>
+        m.properties.get("dirs")
+          .map(_.split(",").toSeq)
+          // pre-delta manifests carry no dirs property: single key dir
+          .getOrElse(Seq(s"key=${keyHash(key)}"))
+          .map(d => dataDir.resolve(d))
+      }
+      .filter(ds => ds.nonEmpty && ds.forall(Files.isDirectory(_)))
 
   /** Build (or replace) the index for corpus snapshot `key`: write the
     * partitioned data to a staging dir, publish it with one atomic
@@ -246,12 +260,13 @@ class IndexTable(rootDir: String, name: String)
     * fail to scan (advisor r4; two builders can only disagree while
     * the corpus itself is changing mid-flight, so retries terminate in
     * practice and are bounded here regardless). */
-  def rebuild(key: String, partitionCols: Seq[String], df: DataFrame): Path = {
+  def rebuild(key: String, partitionCols: Seq[String], df: DataFrame,
+              extraProps: Map[String, String] = Map.empty): Path = {
     var attempt = 0
-    var dir = rebuildOnce(key, partitionCols, df)
+    var dir = rebuildOnce(key, partitionCols, df, extraProps)
     while (!Files.isDirectory(dir) && attempt < 3) {
       attempt += 1
-      dir = rebuildOnce(key, partitionCols, df)
+      dir = rebuildOnce(key, partitionCols, df, extraProps)
     }
     if (!Files.isDirectory(dir))
       throw new IllegalStateException(
@@ -259,8 +274,46 @@ class IndexTable(rootDir: String, name: String)
     dir
   }
 
-  private def rebuildOnce(key: String, partitionCols: Seq[String], df: DataFrame): Path = {
+  /** Append-only evolution: commit `deltaDf` as an ADDITIONAL data
+    * directory for the grown corpus snapshot `newKey`, leaving the
+    * base directories (built for `baseKey`) untouched — delta-sized
+    * build work instead of a full-corpus re-shuffle when the corpus
+    * only gained rows. Returns None (caller falls back to a full
+    * rebuild) when the base is gone or a concurrent builder superseded
+    * the commit. ONLY correct when the delta rows are SELF-CONTAINED
+    * additions — e.g. postings of brand-new doc ids, which never merge
+    * with any base row — a contract the CALLER must guarantee. */
+  def appendDelta(baseKey: String, newKey: String, partitionCols: Seq[String],
+                  deltaDf: DataFrame,
+                  extraProps: Map[String, String] = Map.empty): Option[Seq[Path]] = {
+    currentDirs(baseKey).flatMap { base =>
+      val keyDir = writeKeyDir(keyHash(newKey), partitionCols, deltaDf)
+      val dirs = base :+ keyDir
+      val files = dirs.toVector.flatMap(LakeTable.footerMetasRecursive)
+      writeSnapshot(SnapshotMeta(name, 0, files, files.map(_.rows).sum,
+        Map("key" -> newKey,
+          "dirs" -> dirs.map(_.getFileName.toString).mkString(",")) ++ extraProps))
+      cleanupRetired()
+      // re-resolve: a concurrent publish may have superseded ours (and
+      // retired our dirs) — never hand back paths we may have deleted
+      currentDirs(newKey)
+    }
+  }
+
+  private def rebuildOnce(key: String, partitionCols: Seq[String], df: DataFrame,
+                          extraProps: Map[String, String]): Path = {
     val kh = keyHash(key)
+    val keyDir = writeKeyDir(kh, partitionCols, df)
+    val files = LakeTable.footerMetasRecursive(keyDir)
+    writeSnapshot(SnapshotMeta(name, 0, files, files.map(_.rows).sum,
+      Map("key" -> key, "dirs" -> s"key=$kh") ++ extraProps))
+    cleanupRetired()
+    keyDir
+  }
+
+  /** Materialize one data directory for `kh` (idempotent): write into
+    * a private staging dir, publish with one atomic rename. */
+  private def writeKeyDir(kh: String, partitionCols: Seq[String], df: DataFrame): Path = {
     val keyDir = dataDir.resolve(s"key=$kh")
     if (!Files.isDirectory(keyDir)) {
       // staging name: pid-disambiguated, not random — determinism
@@ -283,23 +336,27 @@ class IndexTable(rootDir: String, name: String)
           if (!Files.isDirectory(keyDir)) throw e
       }
     }
-    val files = LakeTable.footerMetasRecursive(keyDir)
-    writeSnapshot(SnapshotMeta(name, 0, files, files.map(_.rows).sum,
-      Map("key" -> key)))
-    // retire key dirs the CURRENT manifest doesn't reference — re-read
-    // it rather than assuming ours is still the latest: a concurrent
-    // builder for a NEWER corpus key may have published after us, and
-    // wall-clock-ordered cleanup would delete its live index (the
-    // remaining microscopic read-then-delete window is the CAS point a
-    // real catalog closes; see the class doc)
-    val liveKeyDir = snapshot(0).flatMap(_.properties.get("key")).map(k => s"key=${keyHash(k)}")
+    keyDir
+  }
+
+  /** Retire key dirs the CURRENT manifest doesn't reference — re-read
+    * it rather than assuming ours is still the latest: a concurrent
+    * builder for a NEWER corpus key may have published after us, and
+    * wall-clock-ordered cleanup would delete its live index (the
+    * remaining microscopic read-then-delete window is the CAS point a
+    * real catalog closes; see the class doc). An appended index lists
+    * ALL its live dirs in the manifest's dirs property. */
+  private def cleanupRetired(): Unit = {
+    val live: Set[String] = snapshot(0).map { m =>
+      m.properties.get("dirs").map(_.split(",").toSet).getOrElse(
+        m.properties.get("key").map(k => Set(s"key=${keyHash(k)}")).getOrElse(Set.empty))
+    }.getOrElse(Set.empty)
     Lake.listPaths(dataDir)
       .filter { p =>
         val n = p.getFileName.toString
-        n.startsWith("key=") && !liveKeyDir.contains(n)
+        n.startsWith("key=") && !live.contains(n)
       }
       .foreach(Lake.deleteRecursively)
-    keyDir
   }
 
 }

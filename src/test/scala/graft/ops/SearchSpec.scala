@@ -22,16 +22,50 @@ class SearchSpec extends SparkTestBase {
   }
 
   test("postings index is built once per corpus snapshot, manifest hit after") {
-    val first = Search.postingsIndexDir(spark, dir)
-    val again = Search.postingsIndexDir(spark, dir)
+    val first = Search.postingsIndexDirs(spark, dir)
+    val again = Search.postingsIndexDirs(spark, dir)
     assert(first == again, "second resolve must be a manifest hit, not a rebuild")
+    assert(first.size == 1, "an unchanged corpus must resolve to the single base dir")
     // layout: one bucket=<v> partition dir per realized term bucket
-    val buckets = new java.io.File(first).listFiles().count(_.getName.startsWith("bucket="))
+    val buckets = new java.io.File(first.head).listFiles().count(_.getName.startsWith("bucket="))
     assert(buckets > 1 && buckets <= Search.NBuckets, s"buckets=$buckets")
     // salted write layout: file count bounded by buckets × slots, NOT
     // by upstream task count (the 1000-executor file-explosion guard)
-    val files = spark.read.parquet(first).inputFiles.length
+    val files = spark.read.parquet(first.head).inputFiles.length
     assert(files <= Search.NBuckets * Search.SaltSlots, s"files=$files")
+  }
+
+  test("postings index appends a delta for a grown corpus; rewrite rebuilds") {
+    import spark.implicits._
+    val tmp = tmpDir("graft_post_append")
+    def corpusDocs(ids: Range, body: String) =
+      ids.map(i => (i.toLong, "alpha", s"$body w$i")).toDF("doc_id", "source", "text")
+    corpusDocs(0 until 60, "join hash").coalesce(2)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val base = Search.postingsIndexDirs(spark, tmp)
+    assert(base.size == 1)
+    val baseListing = spark.read.parquet(base.head).inputFiles.sorted.toSeq
+    // grow the corpus by NEW doc_ids (new part files, old untouched);
+    // higher term mass so appended docs MUST surface in the top-k
+    corpusDocs(100 until 140, "join join join hash").coalesce(1)
+      .write.mode("append").parquet(s"$tmp/documents.parquet")
+    val grown = Search.postingsIndexDirs(spark, tmp)
+    assert(grown.size == 2, s"expected base + delta, got $grown")
+    assert(grown.head == base.head, "base dir must be reused, not rebuilt")
+    assert(spark.read.parquet(grown.head).inputFiles.sorted.toSeq == baseListing,
+      "base dir contents must be untouched by the append")
+    // the delta-built index serves the grown corpus exactly
+    val viaIndex = Search.keywordSearch(spark, tmp).collect().toSet
+    val brute = Search.keywordSearchBrute(spark, tmp).collect().toSet
+    assert(viaIndex == brute)
+    assert(viaIndex.exists(_.getLong(1) >= 100L), "appended docs missing from results")
+    // an in-place REWRITE (same names impossible — overwrite changes
+    // files) must fall back to a full single-dir rebuild
+    corpusDocs(0 until 30, "join hash").coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rebuilt = Search.postingsIndexDirs(spark, tmp)
+    assert(rebuilt.size == 1, s"rewrite must rebuild, got $rebuilt")
+    assert(rebuilt.head != base.head)
   }
 
   test("tfidf distinctive terms rank a planted source-exclusive word first") {
