@@ -503,8 +503,9 @@ object Similarity {
   private[ops] def corpusSnapshotKey(dir: String): String =
     corpusSnapshotKey(dir, "embeddings.parquet")
 
-  /** File-generic variant — Search keys its postings index on the
-    * documents table with the same snapshot discipline. */
+  /** File-generic variant (Search's postings index now keys on its own
+    * richer (file, mtime) signature — kept generic for the next
+    * derived-table family). */
   private[ops] def corpusSnapshotKey(dir: String, fileName: String): String = {
     import scala.jdk.CollectionConverters._
     val p = java.nio.file.Paths.get(s"$dir/$fileName")
