@@ -103,6 +103,7 @@ object SparkEntry {
       Audio.audioFeatures(Audio.syntheticAudio(s, 64))),
     "q_video_frames" -> ((s: SparkSession, _: String) =>
       Multimodal.sampleFrames(Multimodal.syntheticVideos(s, 64))),
+    "q_video_static" -> ((s: SparkSession, _: String) => Multimodal.videoStatic(s)),
     // --- the crawl engine end-to-end (exactly verified vs RefSim in
     // ConformanceSpec; here a smoke slice for the driver) ---
     "q_crawl_smoke" -> ((s: SparkSession, _: String) => {
@@ -146,6 +147,7 @@ object SparkEntry {
     "ivf_batch_probes" -> ((s, d) => Similarity.ivfBatchProbesAux(s, d)),
     "phash_sigs" -> ((s, _) => Multimodal.syntheticImages(s, 64).select("image_id", "phash")),
     "image_hashes" -> ((s, _) => Multimodal.imageHashes(s)),
+    "frame_hashes" -> ((s, _) => Multimodal.frameHashesAux(s)),
     "image_stats" -> ((s, _) => Multimodal.imageStatsAux(s)),
     "audio_pcm" -> ((s, _) => Audio.pcmAux(s)),
     "distinct_hashes" -> ((s, d) => Sketches.distinctHashesAux(s, d)),

@@ -166,6 +166,13 @@ object Multimodal {
   val LumLoKilo = 30000L  // mean luminance >= 30 (per-pixel kilo units)
   val LumHiKilo = 225000L // mean luminance <= 225
 
+  /** Maximum consecutive-frame hamming distance still counted as "the
+    * same frame" by [[videoStaticOf]] (GIF palettization may perturb a
+    * few hash bits between re-encodes; identical frames palettize
+    * identically so true statics land at 0). Declared above [[oracle]]
+    * for the same initialization-order reason as the thresholds. */
+  val StaticHamming = 4
+
   /** {AUX} oracle for [[phashNearDup]]: the perceptual hash itself
     * needs a real image decode (not SQL-expressible), but the banding +
     * popcount verify after it is — Verify dumps the deterministic
@@ -246,7 +253,28 @@ object Multimodal {
          |    (w <= $MaxAspect * h AND h <= $MaxAspect * w) AND
          |    (lum_kilo >= $LumLoKilo * w * h AND
          |     lum_kilo <= $LumHiKilo * w * h) AS keep
-         |FROM s""".stripMargin
+         |FROM s""".stripMargin,
+    // the frame hashes need a real multi-frame decode; the
+    // consecutive-pair hamming rule after them replays exactly
+    // (xor + bit_count, the phash oracle's proven integer pattern)
+    "q_video_static" ->
+      s"""WITH f AS (SELECT * FROM read_parquet('{AUX}/frame_hashes/*.parquet')),
+         |d AS (
+         |  SELECT video_id, frame_phash,
+         |    lag(frame_phash) OVER (PARTITION BY video_id ORDER BY frame_idx) AS prev
+         |  FROM f)
+         |SELECT video_id, CAST(count(*) AS BIGINT) AS n_sampled,
+         |  CAST(sum(CASE WHEN prev IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_pairs,
+         |  CAST(sum(CASE WHEN prev IS NOT NULL
+         |             AND bit_count(xor(frame_phash, prev)) <= $StaticHamming
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_static,
+         |  sum(CASE WHEN prev IS NOT NULL THEN 1 ELSE 0 END) > 0 AND
+         |    sum(CASE WHEN prev IS NOT NULL THEN 1 ELSE 0 END) =
+         |    sum(CASE WHEN prev IS NOT NULL
+         |          AND bit_count(xor(frame_phash, prev)) <= $StaticHamming
+         |        THEN 1 ELSE 0 END) AS is_static
+         |FROM d GROUP BY 1""".stripMargin
   )
 
   // ------------------------------------------------- exact image dedup
@@ -423,6 +451,84 @@ object Multimodal {
       }
       .toDF("video_id", "bytes", "n_frames")
   }
+
+  /** Video corpus with PLANTED static payloads: every 5th video
+    * repeats ONE frame `nFrames` times — a still image shipped as a
+    * "video", the classic junk case a video curation pass drops. The
+    * rest alternate each frame with its PHOTOMETRIC INVERSE so
+    * consecutive frames differ for real: the base synthesizer's
+    * texture is aHash-degenerate (75/76 of its consecutive pairs
+    * measured hamming 0 — the mean-threshold grid is dominated by the
+    * shared geometry, not the seed), which made "animated" fixtures
+    * read as static — the vacuous-plant trap in the other direction. */
+  def curationVideos(spark: SparkSession, n: Int, nFrames: Int = 12): DataFrame = {
+    import spark.implicits._
+    spark.range(n.toLong)
+      .repartition(math.min(n, 32))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { i =>
+          val id = s"curvid$i.gif"
+          val frames =
+            if (i % 5 == 0)
+              Vector.fill(nFrames)(Imaging.synthPixels(s"$id/f0", 48, 32))
+            else
+              (0 until nFrames).map { f =>
+                val img = Imaging.synthPixels(s"$id/f$f", 48, 32)
+                // period 8 so the default stride-4 sampling still sees
+                // alternation (period 2 would land every sample on a
+                // non-inverted frame)
+                if (f % 8 >= 4) { // invert: consecutive aHashes ~complement
+                  var y = 0
+                  while (y < img.getHeight) {
+                    var x = 0
+                    while (x < img.getWidth) {
+                      img.setRGB(x, y, ~img.getRGB(x, y) & 0xffffff)
+                      x += 1
+                    }
+                    y += 1
+                  }
+                }
+                img
+              }.toVector
+          (id, Imaging.encodeGif(frames), nFrames)
+        }
+      }
+      .toDF("video_id", "bytes", "n_frames")
+  }
+
+  /** Static/duplicate-frame video detection over the sampled frames:
+    * per video, the hamming distance between CONSECUTIVE sampled
+    * frames' perceptual hashes — pairs at distance ≤ [[StaticHamming]]
+    * count as static, and a video whose EVERY pair is static is a
+    * still image in a video container (dropped by curation). One lag
+    * window per video over frames/stride rows (bounded by the
+    * container, never corpus-sized), pure integer xor + popcount. */
+  def videoStaticOf(frames: DataFrame): DataFrame = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"video_id").orderBy($"frame_idx")
+    frames
+      .withColumn("prev", lag($"frame_phash", 1).over(w))
+      .withColumn("dist", bit_count($"frame_phash".bitwiseXOR($"prev")))
+      .groupBy($"video_id")
+      .agg(
+        count(lit(1)).as("n_sampled"),
+        sum(when($"prev".isNotNull, 1L).otherwise(0L)).as("n_pairs"),
+        sum(when($"prev".isNotNull && $"dist" <= StaticHamming, 1L).otherwise(0L))
+          .as("n_static"))
+      .withColumn("is_static", $"n_pairs" > 0L && $"n_static" === $"n_pairs")
+  }
+
+  /** The frame-hash dump: BOTH the static detector's input and its
+    * {AUX} oracle (one decode, one definition). */
+  def frameHashesAux(spark: SparkSession): DataFrame =
+    sampleFrames(curationVideos(spark, 48))
+      .select("video_id", "frame_idx", "frame_phash")
+
+  def videoStatic(spark: SparkSession): DataFrame =
+    videoStaticOf(frameHashesAux(spark))
 
   /** Video frame sampling with REAL decode: every `stride`-th frame of
     * the multi-frame payload is decoded and featurized (dims + aHash)

@@ -45,6 +45,23 @@ class ImageCurationSpec extends SparkTestBase {
     }
   }
 
+  test("video static detection: planted stills flagged, animated videos pass") {
+    val rows = Multimodal.videoStatic(spark).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(rows.size == 48)
+    rows.foreach { case (id, (nSampled, nPairs, nStatic, isStatic)) =>
+      val i = id.stripPrefix("curvid").stripSuffix(".gif").toLong
+      // 12 frames at stride 4 -> 3 sampled, 2 consecutive pairs
+      assert(nSampled == 3L && nPairs == 2L, s"$id sampled=$nSampled pairs=$nPairs")
+      if (i % 5 == 0) {
+        assert(isStatic && nStatic == 2L, s"planted still $id not flagged")
+      } else {
+        assert(!isStatic, s"animated $id misflagged static (n_static=$nStatic)")
+      }
+    }
+  }
+
   test("image quality gate: every rule binds on the planted corpus") {
     val rows = Multimodal.imageQuality(spark).collect()
     assert(rows.length == 64)
