@@ -529,7 +529,15 @@ object Similarity {
   private def ivfIndexDir(spark: SparkSession, dir: String, nCentroids: Int): String =
     synchronized { // serialize same-JVM builders; cross-JVM: see IndexTable
       // cv2: Lloyd-trained centroids; ls: salted write layout (file
-      // count ≤ nCentroids × slots, see IndexTable.writeLayout)
+      // count ≤ nCentroids × slots, see IndexTable.writeLayout).
+      // Deliberately NO IndexTable.appendDelta here (the postings
+      // index has it): appending with FROZEN centroids is the
+      // standard IVF evolution, but this table's centroids are
+      // Lloyd-trained on the full corpus, so a grown corpus retrains
+      // them and can re-assign OLD vectors — a frozen-centroid delta
+      // would diverge from the retrained-assignment aux oracle.
+      // Append-with-frozen-quantizer would need its own key family
+      // and a drift bound; out of scope, rebuild is the honest path.
       val key = corpusSnapshotKey(dir) + "|nc=" + nCentroids + "|cv2|ls=" + IvfSaltSlots
       // md5 of the absolute corpus path, same scheme (and rationale) as
       // BucketedLakeTable.tableName: a 32-bit String.hashCode collision
