@@ -37,6 +37,27 @@ object BenchExtra {
         }
         println(out.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
           .mkString("BXJSON {", ",", "}"))
+      case "probe-cosine" =>
+        // stage-by-stage cost split of cosineNearDup (r6 diagnosis)
+        import org.apache.spark.sql.functions._
+        val bands = graft.ops.Similarity.nearDupBands(spark, sfDir)
+        def time(label: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+          spark.catalog.clearCache()
+          def once(): Double = {
+            val t0 = System.nanoTime()
+            df.write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          println(f"BX $label%-28s ${math.min(once(), once())}%8.3f s")
+        }
+        time("bands-kernel")(bands)
+        val cands = bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+        time("cands-raw")(cands)
+        time("cands-distinct")(cands.distinct())
+        time("full")(graft.ops.Similarity.cosineNearDup(spark, sfDir))
       case "plans" =>
         val outDir = args(1)
         val suffix = args(2)

@@ -46,10 +46,12 @@ object Dedup {
 
   /** Distinct word 3-gram shingles per doc: (doc_id, source, shingle).
     * element_at is 1-based like the DuckDB oracle's array indexing. */
-  private def shingles(spark: SparkSession, dir: String, n: Int = 3): DataFrame =
-    shinglesOf(docs(spark, dir), n)
+  private[ops] def shinglesOf(corpus: DataFrame, n: Int = 3): DataFrame =
+    shinglesRaw(corpus, n).distinct()
 
-  private[ops] def shinglesOf(corpus: DataFrame, n: Int = 3): DataFrame = {
+  /** The raw (non-distinct) shingle stream — shared by [[shinglesOf]]
+    * and [[shinglesKeyedBy]]. */
+  private def shinglesRaw(corpus: DataFrame, n: Int = 3): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     corpus
@@ -59,8 +61,22 @@ object Dedup {
         transform(sequence(lit(1), size($"w") - (n - 1)), i =>
           concat_ws(" ", (0 until n).map(o => element_at(col("w"), i + o)): _*))
       ).as("shingle"))
-      .distinct()
   }
+
+  /** Distinct shingles exchanged ONCE on `keys` (a subset of (doc_id,
+    * source, shingle)) — the r6 shuffle-removal shape (guide §2.4):
+    * HashPartitioning on a subset of an aggregation's grouping keys /
+    * a join's equi-keys satisfies its clustering requirement, so the
+    * dedup aggregation AND every downstream groupBy/join keyed on
+    * `keys` ride this single exchange; within one action the several
+    * consumers share it via ReusedExchange. The old shape paid a
+    * distinct exchange on all three columns plus per-consumer
+    * re-exchanges, and cached the distinct rows — re-scanning a
+    * string-heavy InMemoryRelation is the r5-documented 2-4x
+    * cache-scan trap. */
+  private[ops] def shinglesKeyedBy(corpus: DataFrame, keys: Seq[String],
+                                   n: Int = 3): DataFrame =
+    shinglesRaw(corpus, n).repartition(keys.map(col): _*).distinct()
 
   /** Exact n-gram Jaccard pairs within a `source` block: intersection
     * via shingle equi-join + pair count; union by inclusion-exclusion.
@@ -98,7 +114,9 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, dir: String, minInter: Int = 3,
                    maxDf: Int = MaxShingleDf): DataFrame = {
     import spark.implicits._
-    val sh = shingles(spark, dir).persist()
+    // keyed on the join/cap key, NOT persisted: the df cap, both
+    // self-join sides and the sizes agg all reuse the one exchange
+    val sh = shinglesKeyedBy(docs(spark, dir), Seq("source", "shingle"))
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = interPairs(sh, minInter, maxDf)
     inter
@@ -174,10 +192,11 @@ object Dedup {
                                maxDf: Int = MaxShingleDf): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val sh = shinglesOf(corpus)
     // cross-source df cap: keyed on shingle alone (the join key) —
     // cross-boundary overlap means the per-source df split is
-    // irrelevant to the pair blowup
+    // irrelevant to the pair blowup. One shingle-keyed exchange feeds
+    // the cap count and both join sides (r6, guide §2.4).
+    val sh = shinglesKeyedBy(corpus, Seq("shingle"))
     val dfOk = sh.groupBy($"shingle")
       .agg(count(lit(1)).as("df")).filter($"df" <= maxDf)
       .select($"shingle")
@@ -212,18 +231,13 @@ object Dedup {
     * reachability + min). */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sh = shingles(spark, dir).persist()
-    val out = clusterLabels(
+    // keyed like ngramJaccard (one exchange feeds cap + both join
+    // sides); nothing to unpersist — clusterLabels materializes the
+    // edge set once and the shingle stream is never re-executed
+    val sh = shinglesKeyedBy(docs(spark, dir), Seq("source", "shingle"))
+    clusterLabels(
       docs(spark, dir).select($"doc_id"),
       interPairs(sh, minInter = 3, maxDf = MaxShingleDf).select($"a_id", $"b_id"))
-    // clusterLabels has materialized the edge set by now (its adaptive
-    // count), so the shingle cache serves nobody — drop it rather than
-    // leak it into the session, where a LATER query whose shingle plan
-    // happens to coincide would scan the InMemoryRelation instead of
-    // its own codegen'd pipeline (measured 2-4x slower for the minhash
-    // signature pass)
-    sh.unpersist()
-    out
   }
 
   /** Edge-count threshold below which components are resolved by a
@@ -380,7 +394,11 @@ object Dedup {
     * the pipeline's hottest path. */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sh = shingles(spark, dir)
+    // NOT shinglesKeyedBy(doc_id) (tried in r6): the distinct exchange
+    // dedups map-side and the 32-min aggregation partial-aggregates
+    // before its exchange, so the classic shape moves fewer bytes than
+    // one raw doc_id repartition — measured 1.31s vs 1.49s
+    val sh = shinglesOf(docs(spark, dir))
     val mins = (0 until MinHashK).map(i =>
       min(xxhash64(lit(1000L + i), $"shingle")).as(s"h$i"))
     sh.groupBy($"doc_id").agg(mins.head, mins.tail: _*)
@@ -422,7 +440,7 @@ object Dedup {
     // exact verification touches ONLY candidate pairs: per-doc shingle
     // sets are small (bounded by doc length), so array_intersect on the
     // joined pair beats re-running the full pairwise shingle join
-    val sets = shingles(spark, dir).groupBy($"doc_id")
+    val sets = shinglesOf(docs(spark, dir)).groupBy($"doc_id")
       .agg(collect_set($"shingle").as("shset"))
     cands
       .join(sets.select($"doc_id".as("a_id"), $"shset".as("sa")), "a_id")

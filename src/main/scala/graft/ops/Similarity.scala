@@ -191,23 +191,70 @@ object Similarity {
       .toDF("vec_id", "band", "bk")
   }
 
+  /** Band rows carrying the vector's FULL packed key vector: 32 3-bit
+    * band keys in two longs (groups 0-15 at bits 3i of k0, 16-31 at
+    * bits 3(i-16) of k1) — what lets the pair join dedup WITHOUT a
+    * shuffle (see [[cosineNearDup]]). Same key family as
+    * [[nearDupBands]] (shared [[nearDupBandKeys]] kernel), so the aux
+    * oracle dump replays exactly this banding. */
+  private def nearDupBandsPacked(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    embTyped(spark, dir)
+      .mapPartitions { it =>
+        it.flatMap { case (id, v) =>
+          val ks = nearDupBandKeys(v)
+          var k0 = 0L; var k1 = 0L
+          var i = 0
+          while (i < ks.length) {
+            if (i < 16) k0 |= ks(i).toLong << (3 * i)
+            else k1 |= ks(i).toLong << (3 * (i - 16))
+            i += 1
+          }
+          Iterator.tabulate(ks.length)(b => (id, b, ks(b), k0, k1))
+        }
+      }
+      .toDF("vec_id", "band", "bk", "k0", "k1")
+  }
+
+  /** Index of the FIRST band whose 3-bit key agrees, given the XORs of
+    * the two packed key vectors (a 32-arm codegen'd CASE — group i
+    * agrees iff its 3 xor bits are zero). Total because the inputs
+    * always come from a band join: at least the joined band agrees. */
+  private def firstAgreeBand(x0: Column, x1: Column): Column = {
+    def grp(x: Column, off: Int) = shiftright(x, off).bitwiseAND(lit(7L))
+    (0 until NearDupBands).foldRight(lit(NearDupBands): Column) { (i, rest) =>
+      val g = if (i < 16) grp(x0, 3 * i) else grp(x1, 3 * (i - 16))
+      when(g === 0L, lit(i)).otherwise(rest)
+    }
+  }
+
   /** Near-duplicate pairs over a cosine threshold (percent, to keep the
     * driver compare on integers + ids). Candidates from SRP-LSH band
     * equi-joins; EXACT cosine verification on candidate pairs only, so
     * the emitted set equals the exact join's whenever the banding
     * covers it (asserted vs the cross-join formulation in OpsSpec; the
     * DuckDB oracle replays the banding from the aux key dump, so ITS
-    * contract is bit-exact on any corpus). */
+    * contract is bit-exact on any corpus).
+    *
+    * r6 dedup-shuffle removal (guide §2.3/§2.4): a pair agreeing on m
+    * bands used to surface m times and be collapsed by a `.distinct()`
+    * — an exchange + global hash-dedup of the (quadratic-ish) candidate
+    * stream, measured as ~45% of this query. Instead each band row
+    * carries the vector's packed 32-key vector and a pair is KEPT ONLY
+    * IN ITS FIRST AGREEING BAND (the classic emit-once LSH rule): a
+    * codegen'd filter, exactly one survivor per candidate pair, no
+    * exchange. The extra shuffle weight is 16 bytes per band row —
+    * linear in the corpus — traded against an exchange of the
+    * candidate PAIR stream, which is the super-linear term. */
   def cosineNearDup(spark: SparkSession, dir: String, minCosPct: Int = 40): DataFrame = {
     import spark.implicits._
-    val bands = nearDupBands(spark, dir)
-    // distinct candidate ids FIRST (ids only through the band join),
-    // then ONE exact cosine verification per distinct pair
+    val bands = nearDupBandsPacked(spark, dir)
     val cands = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
           col("a.vec_id") < col("b.vec_id"))
+      .filter(firstAgreeBand(col("a.k0").bitwiseXOR(col("b.k0")),
+        col("a.k1").bitwiseXOR(col("b.k1"))) === col("a.band"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
-      .distinct()
     val ev = emb(spark, dir).select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
     cands
       .join(ev.select($"vec_id".as("a_id"), $"embedding".as("ea"), $"nrm".as("na")), "a_id")
@@ -444,12 +491,17 @@ object Similarity {
     val assigned = ivfAssigned(spark, dir, cB)
     val queries = ivfProbesFull(embTyped(spark, dir), nProbe, cB)
       .select($"vec_id".as("a_id"), $"embedding".as("ea"), $"nrm".as("na"), $"cluster")
+    // NO pair-dedup aggregation (r6): a query's nProbe probe clusters
+    // are distinct and every corpus vector is assigned to exactly one
+    // cluster, so (a_id, b_id) is unique by construction — the old
+    // groupBy/first was a full exchange of the scored candidate stream
+    // that collapsed nothing (the oracle's DISTINCT is likewise a
+    // no-op on these pairs)
     val cands = queries.join(
         assigned.select($"vec_id".as("b_id"), $"embedding".as("eb"),
           $"nrm".as("nb"), $"cluster"), "cluster")
       .filter($"a_id" =!= $"b_id")
       .select($"a_id", $"b_id", (dot($"ea", $"eb") / ($"na" * $"nb")).as("sim"))
-      .groupBy($"a_id", $"b_id").agg(first($"sim").as("sim"))
     val w = Window.partitionBy($"a_id").orderBy($"sim".desc, $"b_id")
     cands.withColumn("rnk", row_number().over(w).cast("bigint"))
       .filter($"rnk" <= k)
@@ -596,10 +648,10 @@ object Similarity {
     // the probed inverted lists are ever read
     val lists = index.filter($"cluster".isin(probed: _*))
       .select($"vec_id".as("b_id"), $"embedding".as("eb"), $"nrm".as("nb"), $"cluster")
+    // no pair-dedup aggregation — same uniqueness argument as ivfTopK
     val cands = queries.join(lists, "cluster")
       .filter($"a_id" =!= $"b_id")
       .select($"a_id", $"b_id", (dot($"ea", $"eb") / ($"na" * $"nb")).as("sim"))
-      .groupBy($"a_id", $"b_id").agg(first($"sim").as("sim"))
     val w = Window.partitionBy($"a_id").orderBy($"sim".desc, $"b_id")
     cands.withColumn("rnk", row_number().over(w).cast("bigint"))
       .filter($"rnk" <= k)
