@@ -37,6 +37,21 @@ object BenchExtra {
         }
         println(out.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
           .mkString("BXJSON {", ",", "}"))
+      case "time-count" =>
+        // the frozen Bench's own methodology (count, best of 2) for
+        // targeted before/after checks on single queries
+        val names = if (args.length > 1) args.drop(1).toSeq
+          else SparkEntry.queries.keys.toSeq.sorted
+        names.foreach { name =>
+          val fn = SparkEntry.queries(name)
+          spark.catalog.clearCache()
+          def once(): Double = {
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          println(f"BX $name%-28s ${math.min(once(), once())}%8.3f s (count, best of 2)")
+        }
       case "probe-cosine" =>
         // stage-by-stage cost split of cosineNearDup (r6 diagnosis)
         import org.apache.spark.sql.functions._

@@ -41,8 +41,17 @@ object Curation {
     val base = corpus.select($"doc_id", $"source", $"text",
       nTokens.as("n_tokens"), nStop.as("n_stop"),
       md5(lower(trim($"text"))).as("fp"))
-    val deduped = base
-      .withColumn("keep_id", min($"doc_id").over(Window.partitionBy($"fp")))
+    // groupBy + join back, NOT min-over-Window.partitionBy(fp) (r6,
+    // verdict): a window partition buffers its whole group in ONE task,
+    // so a pre-dedup mega-duplicate cluster became a single-task sort;
+    // the aggregation has map-side partials. Result identical (keep iff
+    // doc_id is the group min) — the exactDedup scale shape. The keep
+    // side projects ONLY (fp, doc_id) before its exchange (guide §2.3)
+    // so the token/stopword counts are never recomputed there.
+    val keep = corpus
+      .select(md5(lower(trim($"text"))).as("fp"), $"doc_id")
+      .groupBy($"fp").agg(min($"doc_id").as("keep_id"))
+    val deduped = base.join(keep, Seq("fp"))
       .filter($"doc_id" === $"keep_id")
     val qualified = deduped.filter($"n_tokens" >= 20 && $"n_stop" > 0)
     val rep = TextOps.repetitionOf(corpus)

@@ -529,6 +529,10 @@ object Dedup {
     // whole-stage codegen, unlike a Scala UDF
     def ham(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       call_function("bit_count", a.bitwiseXOR(b))
+    // NOT the cosineNearDup emit-once rule (considered in r6): with the
+    // df cap a pair's first AGREEING chunk may sit in a DROPPED bucket,
+    // so "keep only at first agreement" would lose pairs the capped
+    // candidate set still contains — the distinct stays.
     buckets.as("a").join(buckets.as("b"),
         col("a.c") === col("b.c") && col("a.ch") === col("b.ch") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -597,7 +601,11 @@ object Dedup {
             (0 until n).map(o => element_at(col("w"), i + o)): _*).as("shingle")))
       ).as("x"))
       .select($"doc_id", $"x.i".as("i"), $"x.shingle".as("shingle"))
-      .persist()
+    // NOT persisted (r6, advisor finding): the cache was never released
+    // — a session-lifetime InMemoryRelation leak for Verify and library
+    // callers — and both consumers shuffle wins by `shingle` anyway, so
+    // within the one action they share the exchange via ReusedExchange
+    // instead of re-scanning a cached string table.
     val dup = wins.groupBy($"shingle")
       .agg(countDistinct($"doc_id").as("ddf"))
       .filter($"ddf" >= 2).select($"shingle")

@@ -313,18 +313,23 @@ object Multimodal {
     dupImages(spark, 64).select($"image_id", md5($"bytes").as("content_hash"))
   }
 
-  /** Exact image dedup by content hash: one shuffle on content_hash;
-    * the window runs per hash group (bounded by a key's duplicate
-    * multiplicity, never corpus-sized). keep = lexicographic-min
-    * image_id per group — ASCII ids, so Spark's code-unit order
-    * coincides with DuckDB's binary collation. */
+  /** Exact image dedup by content hash: one shuffle on content_hash.
+    * keep = lexicographic-min image_id per group — ASCII ids, so
+    * Spark's code-unit order coincides with DuckDB's binary collation.
+    * groupBy + join back, NOT count/min-over-Window (r6, verdict): a
+    * window partition buffers its whole group in one task, so a
+    * mega-duplicate (the exact adversary this operator exists for)
+    * became a single-task sort; the aggregation partial-combines
+    * map-side and the join side reuses the same content_hash exchange.
+    * Result identical. */
   def imageDedupOf(hashes: DataFrame): DataFrame = {
     val spark = hashes.sparkSession
     import spark.implicits._
-    val w = org.apache.spark.sql.expressions.Window.partitionBy($"content_hash")
-    hashes.select($"image_id", $"content_hash",
-      count(lit(1)).over(w).as("n_copies"),
-      ($"image_id" === min($"image_id").over(w)).as("keep"))
+    val g = hashes.groupBy($"content_hash")
+      .agg(min($"image_id").as("keep_id"), count(lit(1)).as("n_copies"))
+    hashes.join(g, Seq("content_hash"))
+      .select($"image_id", $"content_hash", $"n_copies",
+        ($"image_id" === $"keep_id").as("keep"))
   }
 
   def imageDedup(spark: SparkSession): DataFrame =

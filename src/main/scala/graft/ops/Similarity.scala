@@ -313,11 +313,14 @@ object Similarity {
       struct(lit(b).as("band"),
         shiftright($"sig", b * BitsPerBand).bitwiseAND(lit((1 << BitsPerBand) - 1)).as("bk"))
     }
-    e.select($"vec_id", $"embedding", $"nrm", explode(array(bandCols: _*)).as("bb"))
-      .select($"vec_id", $"embedding", $"nrm", $"bb.band", $"bb.bk")
+    // sig rides along: the candidate join's emit-once dedup filter
+    // (see lshTopK) recomputes band agreement from the two signatures
+    e.select($"vec_id", $"embedding", $"nrm", $"sig", explode(array(bandCols: _*)).as("bb"))
+      .select($"vec_id", $"embedding", $"nrm", $"sig", $"bb.band", $"bb.bk")
   }
 
-  /** Aux dump for the DuckDB oracle: just the banding keys. */
+  /** Aux dump for the DuckDB oracle: just the banding keys (sig is an
+    * internal dedup carrier, never dumped). */
   def lshBandsAux(spark: SparkSession, dir: String): DataFrame =
     lshBuckets(spark, dir).select("vec_id", "band", "bk")
 
@@ -329,13 +332,24 @@ object Similarity {
   def lshTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     import spark.implicits._
     val buckets = lshBuckets(spark, dir)
+    // emit-once dedup (r6, the cosineNearDup rule — sound here because
+    // the LSH bands are UNcapped): a pair agreeing on both bands used to
+    // surface twice and be collapsed by a groupBy/first — an exchange of
+    // the scored candidate stream. Band agreement is recomputable from
+    // the two signatures, so "keep the pair only in its first agreeing
+    // band" is a codegen'd filter: one survivor per pair, no exchange.
+    val x = col("a.sig").bitwiseXOR(col("b.sig"))
+    val firstAgree = (0 until SrpBands).foldRight(lit(SrpBands): Column) { (b, rest) =>
+      when(shiftright(x, b * BitsPerBand)
+        .bitwiseAND(lit((1 << BitsPerBand) - 1)) === 0, lit(b)).otherwise(rest)
+    }
     val cands = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
           col("a.vec_id") =!= col("b.vec_id"))
+      .filter(firstAgree === col("a.band"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
         (dot(col("a.embedding"), col("b.embedding")) /
           (col("a.nrm") * col("b.nrm"))).as("sim"))
-      .groupBy($"a_id", $"b_id").agg(first($"sim").as("sim"))
     val w = Window.partitionBy($"a_id").orderBy($"sim".desc, $"b_id")
     cands.withColumn("rnk", row_number().over(w).cast("bigint"))
       .filter($"rnk" <= k)

@@ -284,11 +284,37 @@ class PlanSpec extends SparkTestBase {
     val p = plan(graft.ops.Curation.curate(spark, dir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "composition introduced an all-pairs operator:\n" + p)
-    // stages: fp window (dedup) + the repetition aggregation pair + one
-    // doc_id join — composing must not multiply shuffles beyond the
-    // standalone operators' own
+    // stages: fp groupBy+join-back (dedup) + the repetition aggregation
+    // pair + one doc_id join — composing must not multiply shuffles
+    // beyond the standalone operators' own
     val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
     assert(exchanges <= 6, s"composition shuffle count crept up ($exchanges):\n" + p)
+  }
+
+  test("exact-dedup stages in curate/image dedup partial-aggregate, never window a group") {
+    // r6 (verdict #2): min/count over Window.partitionBy(fp) buffers an
+    // entire duplicate group in ONE task — a pre-dedup mega-duplicate
+    // cluster becomes a single-task sort. The shipped shape must be a
+    // groupBy with map-side partial aggregation + join back.
+    val pc = plan(graft.ops.Curation.curate(spark, dir))
+    assert(!pc.contains("Window"), "per-fp window back in curate:\n" + pc)
+    assert(pc.contains("partial_min"), "fp dedup lost its map-side partial:\n" + pc)
+    val spark0 = spark
+    import spark0.implicits._
+    // planted mega-dup: one hash with 10k members among singletons
+    val mega = ((0 until 10000).map(i => (f"m$i%05d", "hashA")) ++
+      Seq(("x1", "hashB"), ("x2", "hashC"))).toDF("image_id", "content_hash")
+    val pi = plan(Multimodal.imageDedupOf(mega))
+    assert(!pi.contains("Window"), "per-hash window back in image dedup:\n" + pi)
+    assert(pi.contains("partial_min") && pi.contains("partial_count"),
+      "image dedup lost its map-side partials:\n" + pi)
+    val rows = Multimodal.imageDedupOf(mega).collect()
+    assert(rows.length == 10002)
+    val megaRows = rows.filter(_.getString(1) == "hashA")
+    assert(megaRows.forall(_.getLong(2) == 10000L))
+    assert(megaRows.count(_.getBoolean(3)) == 1 &&
+      megaRows.filter(_.getBoolean(3)).head.getString(0) == "m00000",
+      "keeper must be the lexicographic-min id of the mega group")
   }
 
   test("PQ encoding is a zero-shuffle corpus map; ADC scan is broadcast-only + one window") {
