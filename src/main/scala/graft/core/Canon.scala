@@ -219,7 +219,23 @@ object Canon {
       if (cp != 0x00AD) sb.appendAll(Character.toChars(Character.toLowerCase(cp)))
       i += Character.charCount(cp)
     }
-    val mapped = java.text.Normalizer.normalize(sb.toString, java.text.Normalizer.Form.NFKC)
+    val nfkc = java.text.Normalizer.normalize(sb.toString, java.text.Normalizer.Form.NFKC)
+    // re-lowercase AFTER NFKC (r6, advisor): NFKC can emit uppercase
+    // ASCII from code points with no simple lowercase mapping (e.g.
+    // U+1D400 MATHEMATICAL BOLD CAPITAL A → 'A'); isHostChar accepts
+    // A-Z, so without this pass two urls differing only in such a char
+    // canonicalized to different seen/dedup keys, diverging from
+    // UTS-46/url-crate (pinned in CanonWideningSpec).
+    val mapped = {
+      val sb2 = new StringBuilder(nfkc.length)
+      var j = 0
+      while (j < nfkc.length) {
+        val cp = nfkc.codePointAt(j)
+        sb2.appendAll(Character.toChars(Character.toLowerCase(cp)))
+        j += Character.charCount(cp)
+      }
+      sb2.toString
+    }
     if (mapped.forall(_ < 0x80)) mapped else "xn--" + punycodeEncode(mapped)
   }
 

@@ -128,19 +128,37 @@ object Search {
           .map { s => val i = s.lastIndexOf(':'); (s.take(i), s.drop(i + 1).toLong) }
         val sigSet = sig.toSet
         val newFiles = sig.filterNot(priorFiles.toSet)
+        // append soundness needs BRAND-NEW doc_ids, and file-level
+        // detection alone cannot see ids (r6, advisor): appended part
+        // files carrying EXISTING doc_ids would split a (term, doc_id)
+        // posting across base+delta — sum(tf) still agrees but
+        // keywordSearch's n_terms (posting-row count) double-counts.
+        // The base manifest records its max doc_id; a delta whose min
+        // id does not exceed it falls back to a full rebuild.
+        val priorMaxId = prior.flatMap(_.properties.get("max_doc_id")).map(_.toLong)
         val appendable = priorKey.exists(_.endsWith(params)) &&
-          priorFiles.nonEmpty && newFiles.nonEmpty && priorFiles.forall(sigSet)
+          priorFiles.nonEmpty && newFiles.nonEmpty && priorFiles.forall(sigSet) &&
+          priorMaxId.isDefined
         val appended =
           if (!appendable) None
           else {
             val paths = newFiles.map { case (n, _) => s"$dir/documents.parquet/$n" }
-            table.appendDelta(priorKey.get, key, Seq("bucket"),
-              layout(postingsOf(spark.read.parquet(paths: _*))),
-              Map("files" -> sigString(sig)))
+            val delta = spark.read.parquet(paths: _*)
+            val mm = delta.agg(min($"doc_id"), max($"doc_id")).head
+            if (mm.isNullAt(0) || mm.getLong(0) <= priorMaxId.get) None
+            else table.appendDelta(priorKey.get, key, Seq("bucket"),
+              layout(postingsOf(delta)),
+              Map("files" -> sigString(sig),
+                "max_doc_id" -> math.max(priorMaxId.get, mm.getLong(1)).toString))
           }
-        appended.getOrElse(Seq(
-          table.rebuild(key, Seq("bucket"), layout(postings(spark, dir)),
-            Map("files" -> sigString(sig)))))
+        appended.getOrElse {
+          val maxId = spark.read.parquet(s"$dir/documents.parquet")
+            .agg(max($"doc_id")).head
+          Seq(table.rebuild(key, Seq("bucket"), layout(postings(spark, dir)),
+            Map("files" -> sigString(sig),
+              "max_doc_id" -> (if (maxId.isNullAt(0)) "-1"
+                               else maxId.getLong(0).toString))))
+        }
       }.map(_.toString)
     }
 

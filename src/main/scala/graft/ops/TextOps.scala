@@ -168,10 +168,16 @@ object TextOps {
           greatest($"window_id" * seqLen, $"start_offset")).as("span_len"))
   }
 
-  /** Sign-cleared shard hash of a training window (seed 13 — disjoint
-    * from the sampling/HLL/minhash/countmin seed families) — shared by
+  /** Sign-cleared shard hash of a training window — shared by
     * [[shardAssign]] and the {AUX} dump so the oracle replays exactly
-    * these draws. */
+    * these draws. Seed 13 is SHARED with Sketches.bkHash (bottom-k) —
+    * an advisor-flagged doc error in r5 (the old comment claimed
+    * disjointness): no realized correlation (bkHash draws on a 1-ary
+    * event_id, this on a 2-ary (source, window_id) — different input
+    * shapes, different hash streams), and the seed cannot move now
+    * without changing q_shard_assign's declared output. A future
+    * same-shape reuse of 13 would correlate draws — pick a fresh seed
+    * there. */
   private def shardHash(source: Column, windowId: Column): Column =
     xxhash64(lit(13L), source, windowId).bitwiseAND(lit(Long.MaxValue))
 

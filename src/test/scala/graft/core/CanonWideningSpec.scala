@@ -114,6 +114,12 @@ class CanonWideningSpec extends AnyFunSuite {
     assert(render("http://b\u00adu\u0308cher.example/x") == "http://xn--bcher-kva.example/x")
     // ASCII-invalid chars surviving the mapping still reject the host
     assert(parse("http://b\u00fcch er.example/x").isEmpty)
+    // NFKC can emit uppercase ASCII from code points WITHOUT a simple
+    // lowercase mapping (U+1D400 MATHEMATICAL BOLD CAPITAL A -> 'A');
+    // the mapping must re-lowercase AFTER NFKC or two urls differing
+    // only in such a char get different seen/dedup keys (r6 advisor)
+    assert(render("http://\ud835\udc00bc.example/x") == "http://abc.example/x")
+    assert(render("http://\ud835\udc00bc.example/x") == render("http://abc.example/x"))
   }
 
   test("ASCII reg-name behavior is unchanged by the widening (property)") {

@@ -68,6 +68,29 @@ class SearchSpec extends SparkTestBase {
     assert(rebuilt.head != base.head)
   }
 
+  test("append with OVERLAPPING doc_ids falls back to a full rebuild (id guard)") {
+    import spark.implicits._
+    // file-level detection alone would append here (old files
+    // untouched), but the new part file re-uses doc_id 10 — a split
+    // (term, doc_id) posting across base+delta would double-count
+    // n_terms. The max_doc_id guard must force a rebuild instead.
+    val tmp = tmpDir("graft_post_overlap")
+    def corpusDocs(ids: Range, body: String) =
+      ids.map(i => (i.toLong, "alpha", s"$body w$i")).toDF("doc_id", "source", "text")
+    corpusDocs(0 until 60, "join hash").coalesce(2)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val base = Search.postingsIndexDirs(spark, tmp)
+    assert(base.size == 1)
+    corpusDocs(10 until 12, "join join join hash").coalesce(1)
+      .write.mode("append").parquet(s"$tmp/documents.parquet")
+    val grown = Search.postingsIndexDirs(spark, tmp)
+    assert(grown.size == 1, s"overlapping-id append must rebuild, got $grown")
+    assert(grown.head != base.head)
+    val viaIndex = Search.keywordSearch(spark, tmp).collect().toSet
+    val brute = Search.keywordSearchBrute(spark, tmp).collect().toSet
+    assert(viaIndex == brute)
+  }
+
   test("tfidf distinctive terms rank a planted source-exclusive word first") {
     import spark.implicits._
     val tmp = tmpDir("graft_tfidf")
