@@ -83,6 +83,24 @@ object BenchExtra {
           }
           println(f"BX interPairs hint=${h}%-14s ${math.min(once(), once())}%8.3f s")
         }
+      case "probe-minhash" =>
+        import org.apache.spark.sql.functions._
+        import spark.implicits._
+        def time(label: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+          spark.catalog.clearCache()
+          def once(): Double = {
+            val t0 = System.nanoTime()
+            df.write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          println(f"BX $label%-28s ${math.min(once(), once())}%8.3f s")
+        }
+        time("signatures")(graft.ops.Dedup.minhashSignatures(spark, sfDir))
+        time("bands")(graft.ops.Dedup.minhashBands(spark, sfDir))
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        time("sets")(graft.ops.Dedup.shinglesOf(docs)
+          .groupBy($"doc_id").agg(collect_set($"shingle").as("shset")))
+        time("full")(graft.ops.Dedup.minhashNearDup(spark, sfDir))
       case "probe-cosine" =>
         // stage-by-stage cost split of cosineNearDup (r6 diagnosis)
         import org.apache.spark.sql.functions._

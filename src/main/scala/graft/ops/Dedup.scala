@@ -46,7 +46,7 @@ object Dedup {
 
   /** Distinct word 3-gram shingles per doc: (doc_id, source, shingle).
     * element_at is 1-based like the DuckDB oracle's array indexing. */
-  private[ops] def shinglesOf(corpus: DataFrame, n: Int = 3): DataFrame =
+  private[graft] def shinglesOf(corpus: DataFrame, n: Int = 3): DataFrame =
     shinglesRaw(corpus, n).distinct()
 
   /** The raw (non-distinct) shingle stream — shared by [[shinglesOf]]
