@@ -170,6 +170,12 @@ object Dedup {
   def decontaminateCorpus(corpus: DataFrame, maxDf: Int = MaxFpDf): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // NOT the interPairs keyed+merge rework (tried in r6, reverted):
+    // measured 0.40 -> 0.48-0.54 s — at bench scale the fp/cap sides
+    // are tiny and AQE's broadcasts beat the extra repartition + SMJ
+    // sorts, and unlike the shingle joins there is no scale cliff here
+    // (a corpus-sized fp side exceeds the broadcast threshold, so the
+    // planner falls back to exchanges on its own).
     val fp = capHotBuckets(
       corpus.select($"doc_id", $"source", md5(lower(trim($"text"))).as("fp")),
       Seq("fp"), maxDf)
