@@ -137,6 +137,29 @@ object BenchExtra {
             txt.getBytes("UTF-8"))
           println(s"BX wrote $outDir/$name$suffix.txt")
         }
+      case "plans-final" =>
+        // POST-execution adaptive plans (isFinalPlan=true): what AQE
+        // actually ran — exchange reuse (ReusedExchange), runtime join
+        // rewrites and AQEShuffleRead coalescing are only visible here,
+        // not in the pre-execution `plans` dumps. collect() executes
+        // this exact QueryExecution in place (declared outputs are
+        // small); the driver's own methodology is untouched.
+        val outDir = args(1)
+        val suffix = args(2)
+        val names = if (args.length > 3) args.drop(3).toSeq
+          else SparkEntry.queries.keys.toSeq.sorted
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+        names.foreach { name =>
+          spark.catalog.clearCache()
+          val df = SparkEntry.queries(name)(spark, sfDir)
+          df.collect()
+          val txt = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(outDir, s"$name$suffix.txt"),
+            txt.getBytes("UTF-8"))
+          println(s"BX wrote $outDir/$name$suffix.txt")
+        }
     } finally spark.stop()
   }
 }
